@@ -1,0 +1,188 @@
+"""GCN: normalization precompute + forward (reference: nn/conv/gcn.py).
+
+The forward is the canonical hot path (SURVEY §3.1): dense XW on the MXU,
+then one SpMM ``Â @ h``. Normalization (``gcn_norm_adj``) is a pure
+precompute producing a new SparseMatrix; the per-graph ``cache`` dict keyed by
+the config string (gcn.py:9-20) makes it O(1) after the first call, and since
+cached values are concrete arrays, ``jit`` captures them as constants —
+the same trick the reference plays with numpy triples (gcn.py:126-128).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...sparse.matrix import SparseMatrix, diags
+
+__all__ = [
+    "gcn",
+    "gcn_norm_adj",
+    "gcn_build_cache_by_adj",
+    "gcn_build_cache_for_graph",
+    "gcn_norm_edge",
+    "gcn_cache_normed_edge",
+    "gcn_mapper",
+    "compute_cache_key",
+]
+
+CACHE_KEY_GCN_NORMED_ADJ_TEMPLATE = "gcn_normed_adj_{}_{}_{}_{}_{}"
+
+
+def compute_cache_key(norm, add_self_loop, sym, renorm, improved):
+    """Cache key over the full normalization config (gcn.py:12-20)."""
+    return CACHE_KEY_GCN_NORMED_ADJ_TEMPLATE.format(norm, add_self_loop, sym, renorm, improved)
+
+
+def _inv_pow_no_nan(deg, power):
+    """deg**power with inf/nan→0 (gcn.py:23-29): isolated nodes get weight 0."""
+    out = jnp.where(deg > 0, jnp.power(jnp.maximum(deg, 1e-38), power), 0.0)
+    return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
+def _scale_rows_cols(adj: SparseMatrix, row_scale=None, col_scale=None) -> SparseMatrix:
+    """diag(row_scale) @ A @ diag(col_scale) without materializing diagonals."""
+    value = adj.value
+    n_rows, n_cols = adj.shape
+    if row_scale is not None:
+        value = value * jnp.take(row_scale, jnp.clip(adj.row, 0, n_rows - 1))
+    if col_scale is not None:
+        value = value * jnp.take(col_scale, jnp.clip(adj.col, 0, n_cols - 1))
+    return adj.with_value(value)
+
+
+def gcn_norm_adj(sparse_adj: SparseMatrix, norm: str = "both", add_self_loop: bool = True,
+                 sym: bool = True, renorm: bool = True, improved: bool = False,
+                 cache: Optional[dict] = None) -> SparseMatrix:
+    """GCN adjacency normalization (gcn.py:32-130).
+
+    norm="both": D^-1/2 (A [+I]) D^-1/2 — self-loop added *before* the norm
+    when ``renorm`` (the renormalization trick), *after* otherwise.
+    norm="left"/"right": D^-1 scaling (the reference computes ``pow(deg, -1)``
+    of the axis=-1 degree for both modes — we match that behavior).
+    ``improved`` uses self-loop weight 2.0. Isolated nodes normalize to 0.
+    """
+    if cache is not None:
+        cache_key = compute_cache_key(norm, add_self_loop, sym, renorm, improved)
+        cached = cache.get(cache_key, None)
+        if cached is not None:
+            return SparseMatrix(cached[0], cached[1], cached[2])
+
+    fill_weight = 2.0 if improved else 1.0
+
+    if sparse_adj.shape[0] != sparse_adj.shape[1]:
+        if add_self_loop:
+            raise ValueError("add_self_loop=True requires a square adjacency")
+        if sym:
+            raise ValueError("sym=True requires a square adjacency")
+
+    if add_self_loop and norm != "both":
+        sparse_adj = sparse_adj.add_diag(fill_weight)
+
+    if norm == "both":
+        if add_self_loop and renorm:
+            sparse_adj = sparse_adj.add_diag(fill_weight)
+        row_deg = sparse_adj.segment_sum(axis=-1)
+        row_scale = _inv_pow_no_nan(row_deg, -0.5)
+        if sym:
+            col_scale = row_scale
+        else:
+            col_deg = sparse_adj.segment_sum(axis=0)
+            col_scale = _inv_pow_no_nan(col_deg, -0.5)
+        normed = _scale_rows_cols(sparse_adj, row_scale, col_scale)
+        if add_self_loop and not renorm:
+            normed = normed.add_diag(fill_weight)
+    elif norm == "left":
+        row_deg = sparse_adj.segment_sum(axis=-1)
+        normed = _scale_rows_cols(sparse_adj, _inv_pow_no_nan(row_deg, -1.0), None)
+    elif norm == "right":
+        # reference computes the axis=-1 degree here too (gcn.py:113)
+        col_deg = sparse_adj.segment_sum(axis=-1)
+        normed = _scale_rows_cols(sparse_adj, None, _inv_pow_no_nan(col_deg, -1.0))
+    else:
+        raise ValueError(f"wrong GCN norm type: {norm}")
+
+    if cache is not None:
+        if isinstance(normed.value, jax.core.Tracer):
+            raise RuntimeError(
+                "cache must be built eagerly before jit-tracing the forward "
+                "(call gcn_build_cache_for_graph first, mirroring gcn.py:58-59)")
+        # store concrete arrays so jit captures them as constants
+        cache[cache_key] = (jax.device_get(normed.index),
+                            jax.device_get(normed.value), normed.shape)
+    return normed
+
+
+def gcn_build_cache_by_adj(sparse_adj: SparseMatrix, norm="both", add_self_loop=True,
+                           sym=True, renorm=True, improved=False, override=False,
+                           cache: Optional[dict] = None) -> dict:
+    """Populate ``cache`` with the normed adjacency (gcn.py:133-152)."""
+    if cache is None:
+        cache = {}
+    elif override:
+        cache[compute_cache_key(norm, add_self_loop, sym, renorm, improved)] = None
+    gcn_norm_adj(sparse_adj, norm, add_self_loop, sym, renorm, improved, cache)
+    return cache
+
+
+def gcn_build_cache_for_graph(graph, norm="both", add_self_loop=True, sym=True,
+                              renorm=True, improved=False, override=False) -> dict:
+    """Build the normed-adj cache on a Graph (gcn.py:155-169)."""
+    graph.cache = gcn_build_cache_by_adj(
+        graph.adj(), norm=norm, add_self_loop=add_self_loop, sym=sym,
+        renorm=renorm, improved=improved, override=override, cache=graph.cache)
+    return graph.cache
+
+
+def gcn_norm_edge(edge_index, num_nodes, edge_weight=None, renorm=True,
+                  improved=False, cache: Optional[dict] = None):
+    """Deprecated edge-tuple API (gcn.py:180-197)."""
+    sparse_adj = SparseMatrix(edge_index, edge_weight, (num_nodes, num_nodes))
+    normed = gcn_norm_adj(sparse_adj, renorm=renorm, improved=improved, cache=cache)
+    return normed.index, normed.value
+
+
+def gcn_cache_normed_edge(graph, renorm=True, improved=False, override=False):
+    """Deprecated cache builder (gcn.py:201-218)."""
+    if override:
+        graph.cache[compute_cache_key("both", True, True, renorm, improved)] = None
+    gcn_norm_edge(graph.edge_index, graph.num_nodes, graph.edge_weight,
+                  renorm, improved, graph.cache)
+
+
+def gcn_mapper(repeated_x, neighbor_x, edge_weight=None):
+    """Edge-weight scaling mapper (gcn.py:221-222)."""
+    return neighbor_x * jnp.expand_dims(edge_weight, -1)
+
+
+def gcn(x, sparse_adj: SparseMatrix, kernel, bias=None, activation=None,
+        norm: str = "both", add_self_loop: bool = True, sym: bool = True,
+        renorm: bool = True, improved: bool = False, edge_drop_rate: float = 0.0,
+        num_or_size_splits=None, training: bool = False, cache: Optional[dict] = None,
+        dropout_key=None):
+    """Functional GCN forward (gcn.py:225-291): Â = norm(A [+ I]); h = Â (x W) + b.
+
+    ``x`` may be dense or a SparseMatrix (one-hot / sparse features,
+    gcn.py:269-272); ``num_or_size_splits`` chunks the feature dim of the SpMM
+    (gcn.py:274-280); ``edge_drop_rate`` applies dropout on Â's values
+    (gcn.py:262) and requires ``dropout_key`` when training (functional PRNG).
+    """
+    normed_adj = gcn_norm_adj(sparse_adj, norm=norm, add_self_loop=add_self_loop,
+                              sym=sym, renorm=renorm, improved=improved, cache=cache)
+    normed_adj = normed_adj.dropout(edge_drop_rate, key=dropout_key, training=training)
+
+    if kernel is None:
+        h = x
+    elif isinstance(x, SparseMatrix):
+        h = x.matmul(kernel)
+    else:
+        h = x @ kernel
+
+    h = normed_adj.matmul(h, num_or_size_splits=num_or_size_splits)
+
+    if bias is not None:
+        h = h + bias
+    if activation is not None:
+        h = activation(h)
+    return h

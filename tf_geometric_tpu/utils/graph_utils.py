@@ -1,0 +1,560 @@
+"""Graph algorithms & edge transforms (reference: utils/graph_utils.py, 973 LoC).
+
+Two worlds coexist here, mirroring how the framework is used:
+
+* **Host-side (numpy)** structural transforms — dedup, canonicalization,
+  splits, negative sampling, samplers. These run once per dataset/epoch on
+  CPU and produce arrays that are then padded to static shapes for the
+  device. Dynamic output sizes are fine here.
+* **Device-side (jnp, jit-safe)** transforms — self-loop add, Laplacians,
+  masking — with static output shapes, usable inside ``jit``/``grad``.
+
+Functions keep the reference's names and semantics (citations give
+``file:line`` into ``/root/reference/tf_geometric``).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .union_utils import convert_union_to_numpy
+
+__all__ = [
+    "convert_edge_index_to_edge_hash",
+    "convert_edge_hash_to_edge_index",
+    "merge_duplicated_edge",
+    "convert_edge_to_upper",
+    "convert_edge_to_directed",
+    "remove_self_loop_edge",
+    "mask_self_loop_edge",
+    "add_self_loop_edge",
+    "convert_dense_adj_to_edge",
+    "convert_dense_assign_to_edge",
+    "convert_edge_to_nx_graph",
+    "to_scipy_sparse_matrix",
+    "negative_sampling",
+    "negative_sampling_with_start_node",
+    "extract_unique_edge",
+    "edge_train_test_split",
+    "compute_edge_mask_by_node_index",
+    "get_laplacian",
+    "adj_norm_edge",
+    "reindex_sampled_edge_index",
+    "convert_x_to_3d",
+    "LaplacianMaxEigenvalue",
+    "RandomNeighborSampler",
+    "UniformNeighborSampler",
+]
+
+
+# ===========================================================================
+# Edge hashing / dedup (host-side; reference graph_utils.py:14-126)
+# ===========================================================================
+
+def convert_edge_index_to_edge_hash(edge_index, num_nodes=None):
+    """row*N + col as an int64 scalar per edge (graph_utils.py:14-43)."""
+    edge_index = convert_union_to_numpy(edge_index, np.int64)
+    if num_nodes is None:
+        num_nodes = int(edge_index.max()) + 1 if edge_index.size else 0
+    return edge_index[0] * num_nodes + edge_index[1], num_nodes
+
+
+def convert_edge_hash_to_edge_index(edge_hash, num_nodes):
+    """Inverse of the hash (graph_utils.py:46-64)."""
+    edge_hash = np.asarray(edge_hash, np.int64)
+    return np.stack([edge_hash // num_nodes, edge_hash % num_nodes], axis=0).astype(np.int32)
+
+
+_MERGE_FNS = {
+    "min": np.minimum.reduceat,
+    "max": np.maximum.reduceat,
+    "sum": np.add.reduceat,
+}
+
+
+def _merge_prop(prop, order, starts, mode):
+    """Merge a per-edge property across duplicate groups (sorted layout)."""
+    sorted_prop = prop[order]
+    if mode == "first":
+        return sorted_prop[starts]
+    if mode == "mean":
+        sums = np.add.reduceat(sorted_prop, starts, axis=0)
+        counts = np.diff(np.append(starts, len(order))).astype(sorted_prop.dtype)
+        return sums / counts.reshape((-1,) + (1,) * (sorted_prop.ndim - 1))
+    if mode in _MERGE_FNS:
+        return _MERGE_FNS[mode](sorted_prop, starts, axis=0)
+    raise ValueError(f"unknown merge mode: {mode}")
+
+
+def merge_duplicated_edge(edge_index, edge_props=None, merge_modes=None):
+    """Collapse duplicate (row, col) pairs, merging properties
+    (graph_utils.py:67-126; modes min/max/mean/sum/first)."""
+    edge_index = convert_union_to_numpy(edge_index, np.int32)
+    edge_hash, num_nodes = convert_edge_index_to_edge_hash(edge_index)
+    order = np.argsort(edge_hash, kind="stable")
+    sorted_hash = edge_hash[order]
+    is_start = np.ones(len(order), bool)
+    is_start[1:] = sorted_hash[1:] != sorted_hash[:-1]
+    starts = np.nonzero(is_start)[0]
+    unique_hash = sorted_hash[starts]
+    new_edge_index = convert_edge_hash_to_edge_index(unique_hash, num_nodes)
+    if edge_props is None:
+        return new_edge_index, None
+    if merge_modes is None:
+        merge_modes = ["first"] * len(edge_props)
+    new_props = [
+        None if p is None else _merge_prop(convert_union_to_numpy(p), order, starts, m)
+        for p, m in zip(edge_props, merge_modes)
+    ]
+    return new_edge_index, new_props
+
+
+def convert_edge_to_upper(edge_index, edge_props=None, merge_modes=None):
+    """Canonicalize to (min, max) pairs and dedupe (graph_utils.py:128-152)."""
+    edge_index = convert_union_to_numpy(edge_index, np.int32)
+    upper = np.stack([edge_index.min(axis=0), edge_index.max(axis=0)], axis=0)
+    return merge_duplicated_edge(upper, edge_props, merge_modes)
+
+
+def convert_edge_to_directed(edge_index, edge_props=None, merge_modes=None):
+    """Undirected → directed: canonicalize, dedupe, mirror non-self-loops
+    (graph_utils.py:155-212)."""
+    upper_index, upper_props = convert_edge_to_upper(edge_index, edge_props, merge_modes)
+    not_loop = upper_index[0] != upper_index[1]
+    mirrored = upper_index[::-1, not_loop]
+    new_index = np.concatenate([upper_index, mirrored], axis=1)
+    if upper_props is None:
+        return new_index, None
+    new_props = [
+        None if p is None else np.concatenate([p, p[not_loop]], axis=0)
+        for p in upper_props
+    ]
+    return new_index, new_props
+
+
+# ===========================================================================
+# Self-loop management (jit-safe where shapes allow)
+# ===========================================================================
+
+def remove_self_loop_edge(edge_index, edge_weight=None):
+    """Filter row==col edges (graph_utils.py:252-269). Host-side (dynamic
+    output size); inside jit use :func:`mask_self_loop_edge`."""
+    edge_index = convert_union_to_numpy(edge_index, np.int32)
+    keep = edge_index[0] != edge_index[1]
+    edge_index = edge_index[:, keep]
+    if edge_weight is not None:
+        edge_weight = convert_union_to_numpy(edge_weight)[keep]
+    return edge_index, edge_weight
+
+
+def mask_self_loop_edge(edge_index, num_nodes: int, edge_weight=None):
+    """jit-safe self-loop removal: self-loops become padded edges
+    (row = num_nodes, weight 0) so shapes stay static."""
+    is_loop = edge_index[0] == edge_index[1]
+    masked_index = jnp.where(is_loop[None, :], num_nodes, edge_index)
+    if edge_weight is None:
+        return masked_index, None
+    return masked_index, jnp.where(is_loop, 0.0, edge_weight)
+
+
+def add_self_loop_edge(edge_index, num_nodes: int, edge_weight=None, fill_weight=1.0):
+    """Append the diagonal with ``fill_weight`` (graph_utils.py:350-366).
+    jit-safe: output size = E + num_nodes, static."""
+    edge_index = jnp.asarray(edge_index)
+    diag = jnp.tile(jnp.arange(num_nodes, dtype=edge_index.dtype)[None, :], (2, 1))
+    new_index = jnp.concatenate([edge_index, diag], axis=1)
+    if edge_weight is None:
+        edge_weight = jnp.ones((edge_index.shape[1],), jnp.float32)
+    else:
+        edge_weight = jnp.asarray(edge_weight, jnp.float32)
+    fill = jnp.full((num_nodes,), fill_weight, jnp.float32)
+    return new_index, jnp.concatenate([edge_weight, fill], axis=0)
+
+
+# ===========================================================================
+# Dense ↔ edge-list conversion
+# ===========================================================================
+
+def convert_dense_adj_to_edge(dense_adj, threshold: float = 0.0):
+    """Nonzero entries of a dense adjacency → (edge_index, edge_weight)
+    (graph_utils.py:272-284). Host-side."""
+    dense_adj = convert_union_to_numpy(dense_adj)
+    row, col = np.nonzero(np.abs(dense_adj) > threshold)
+    return (np.stack([row, col], axis=0).astype(np.int32),
+            dense_adj[row, col].astype(np.float32))
+
+
+def convert_dense_assign_to_edge(dense_assign, node_graph_index=None,
+                                 num_nodes=None, num_clusters=None):
+    """Dense soft-assignment [N, C] → bipartite assignment edges node→cluster,
+    offsetting cluster ids per graph (graph_utils.py:287-322). jit-safe: the
+    output has exactly N*C edges (every (node, cluster) pair)."""
+    dense_assign = jnp.asarray(dense_assign)
+    n, c = dense_assign.shape
+    node_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), c)
+    cluster_idx = jnp.tile(jnp.arange(c, dtype=jnp.int32), n)
+    if node_graph_index is not None:
+        offsets = jnp.asarray(node_graph_index, jnp.int32) * c
+        cluster_idx = cluster_idx + jnp.repeat(offsets, c)
+    edge_index = jnp.stack([node_idx, cluster_idx], axis=0)
+    return edge_index, dense_assign.reshape(-1)
+
+
+def convert_edge_to_nx_graph(edge_index, edge_properties=None, convert_to_directed=False):
+    """networkx view for interop (graph_utils.py:325-347)."""
+    import networkx as nx
+    edge_index = convert_union_to_numpy(edge_index, np.int32)
+    if convert_to_directed:
+        props = None if edge_properties is None else list(edge_properties)
+        edge_index, edge_properties = convert_edge_to_directed(edge_index, props)
+    g = nx.Graph()
+    for i in range(edge_index.shape[1]):
+        g.add_edge(int(edge_index[0, i]), int(edge_index[1, i]))
+    return g
+
+
+def to_scipy_sparse_matrix(edge_index, edge_weight=None, num_nodes=None):
+    """scipy.sparse CSR view (graph_utils.py:606-627)."""
+    import scipy.sparse as sp
+    edge_index = convert_union_to_numpy(edge_index, np.int32)
+    if num_nodes is None:
+        num_nodes = int(edge_index.max()) + 1 if edge_index.size else 0
+    if edge_weight is None:
+        edge_weight = np.ones(edge_index.shape[1], np.float32)
+    else:
+        edge_weight = convert_union_to_numpy(edge_weight, np.float32)
+    return sp.csr_matrix((edge_weight, (edge_index[0], edge_index[1])),
+                         shape=(num_nodes, num_nodes))
+
+
+# ===========================================================================
+# Negative sampling & link-prediction splits (host-side)
+# ===========================================================================
+
+def negative_sampling(num_samples, num_nodes, edge_index=None, replace=True,
+                      mode="undirected", rng=None):
+    """Sample node pairs absent from the graph (graph_utils.py:369-412).
+
+    Dense complement sampling, as in the reference: build the set of taken
+    pairs, draw uniformly from the complement (excluding the diagonal).
+    """
+    rng = np.random.default_rng(rng)
+    taken = set()
+    if edge_index is not None:
+        edge_index = convert_union_to_numpy(edge_index, np.int64)
+        for r, c in edge_index.T:
+            taken.add((int(r), int(c)))
+            if mode == "undirected":
+                taken.add((int(c), int(r)))
+    out = []
+    seen = set()
+    max_tries = num_samples * 200 + 1000
+    tries = 0
+    while len(out) < num_samples and tries < max_tries:
+        tries += 1
+        r = int(rng.integers(0, num_nodes))
+        c = int(rng.integers(0, num_nodes))
+        if r == c or (r, c) in taken:
+            continue
+        if not replace:
+            key = (r, c) if mode == "directed" else (min(r, c), max(r, c))
+            if key in seen:
+                continue
+            seen.add(key)
+        out.append((r, c))
+    return np.array(out, np.int32).T.reshape(2, -1)
+
+
+def negative_sampling_with_start_node(start_node_index, num_nodes, edge_index=None, rng=None):
+    """Rejection-sample a non-neighbor endpoint for each given start node
+    (graph_utils.py:415-452)."""
+    rng = np.random.default_rng(rng)
+    start_node_index = convert_union_to_numpy(start_node_index, np.int64)
+    taken = set()
+    if edge_index is not None:
+        edge_index = convert_union_to_numpy(edge_index, np.int64)
+        for r, c in edge_index.T:
+            taken.add((int(r), int(c)))
+            taken.add((int(c), int(r)))
+    ends = np.empty(len(start_node_index), np.int32)
+    for i, s in enumerate(start_node_index):
+        while True:
+            c = int(rng.integers(0, num_nodes))
+            if c != s and (int(s), c) not in taken:
+                ends[i] = c
+                break
+    return np.stack([start_node_index.astype(np.int32), ends], axis=0)
+
+
+def extract_unique_edge(edge_index, edge_weight=None, mode="undirected"):
+    """One representative per undirected pair via upper-tri dedupe
+    (graph_utils.py:455-485)."""
+    edge_index = convert_union_to_numpy(edge_index, np.int32)
+    props = None if edge_weight is None else [convert_union_to_numpy(edge_weight)]
+    if mode == "undirected":
+        new_index, new_props = convert_edge_to_upper(edge_index, props,
+                                                     None if props is None else ["first"])
+    else:
+        new_index, new_props = merge_duplicated_edge(edge_index, props,
+                                                     None if props is None else ["first"])
+    return new_index, None if new_props is None else new_props[0]
+
+
+def edge_train_test_split(edge_index, test_size, edge_weight=None,
+                          mode="undirected", **kwargs):
+    """Link-prediction split over unique undirected edges
+    (graph_utils.py:488-535; sklearn under the hood)."""
+    from sklearn.model_selection import train_test_split
+    unique_index, unique_weight = extract_unique_edge(edge_index, edge_weight, mode=mode)
+    ids = np.arange(unique_index.shape[1])
+    train_ids, test_ids = train_test_split(ids, test_size=test_size, **kwargs)
+    train_index = unique_index[:, train_ids]
+    test_index = unique_index[:, test_ids]
+    train_w = None if unique_weight is None else unique_weight[train_ids]
+    test_w = None if unique_weight is None else unique_weight[test_ids]
+    return train_index, test_index, train_w, test_w
+
+
+def compute_edge_mask_by_node_index(edge_index, node_index, num_nodes: Optional[int] = None):
+    """Boolean mask of edges whose BOTH endpoints lie in ``node_index``
+    (graph_utils.py:538-551). jit-safe."""
+    edge_index = jnp.asarray(edge_index)
+    node_index = jnp.asarray(node_index)
+    if num_nodes is None:
+        num_nodes = int(max(int(jnp.max(edge_index)) if edge_index.size else 0,
+                            int(jnp.max(node_index)) if node_index.size else 0)) + 1
+    node_mask = jnp.zeros((num_nodes,), bool).at[node_index].set(True)
+    safe = jnp.clip(edge_index, 0, num_nodes - 1)
+    in_range = (edge_index >= 0) & (edge_index < num_nodes)
+    endpoint_ok = node_mask[safe] & in_range
+    return endpoint_ok[0] & endpoint_ok[1]
+
+
+# ===========================================================================
+# Laplacians & degree normalization (jit-safe)
+# ===========================================================================
+
+def get_laplacian(edge_index, num_nodes: int, edge_weight=None,
+                  normalization_type=None, fill_weight=1.0):
+    """Graph Laplacian as an edge list (graph_utils.py:554-603).
+
+    normalization_type: None → L = D - A; "sym" → I - D^-1/2 A D^-1/2;
+    "rw" → I - D^-1 A. Output has E + num_nodes edges (static).
+    """
+    edge_index = jnp.asarray(edge_index)
+    if edge_weight is None:
+        edge_weight = jnp.ones((edge_index.shape[1],), jnp.float32)
+    edge_weight = jnp.asarray(edge_weight, jnp.float32)
+    row = edge_index[0]
+    deg = jax.ops.segment_sum(edge_weight, row, num_segments=num_nodes)
+
+    if normalization_type is None:
+        diag_index = jnp.tile(jnp.arange(num_nodes, dtype=edge_index.dtype)[None, :], (2, 1))
+        new_index = jnp.concatenate([edge_index, diag_index], axis=1)
+        new_weight = jnp.concatenate([-edge_weight, deg], axis=0)
+        return new_index, new_weight
+
+    safe_row = jnp.clip(edge_index[0], 0, num_nodes - 1)
+    safe_col = jnp.clip(edge_index[1], 0, num_nodes - 1)
+    if normalization_type == "sym":
+        dinv = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+        normed = -dinv[safe_row] * edge_weight * dinv[safe_col]
+    elif normalization_type == "rw":
+        dinv = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1e-12), 0.0)
+        normed = -dinv[safe_row] * edge_weight
+    else:
+        raise ValueError(f"unknown normalization_type: {normalization_type}")
+    diag_index = jnp.tile(jnp.arange(num_nodes, dtype=edge_index.dtype)[None, :], (2, 1))
+    new_index = jnp.concatenate([edge_index, diag_index], axis=1)
+    new_weight = jnp.concatenate([normed, jnp.full((num_nodes,), fill_weight, jnp.float32)],
+                                 axis=0)
+    return new_index, new_weight
+
+
+def adj_norm_edge(edge_index, num_nodes: int, edge_weight=None,
+                  add_self_loop: bool = False, cache: Optional[dict] = None):
+    """Symmetric degree normalization D^-1/2 A D^-1/2 used by MinCutPool
+    (graph_utils.py:914-943), with the same cache-key protocol."""
+    if cache is not None:
+        key = f"adj_normed_edge_{add_self_loop}"
+        cached = cache.get(key, None)
+        if cached is not None:
+            return cached
+    edge_index = jnp.asarray(edge_index)
+    if edge_weight is None:
+        edge_weight = jnp.ones((edge_index.shape[1],), jnp.float32)
+    edge_weight = jnp.asarray(edge_weight, jnp.float32)
+    if add_self_loop:
+        edge_index, edge_weight = add_self_loop_edge(edge_index, num_nodes, edge_weight)
+    row, col = edge_index[0], edge_index[1]
+    deg = jax.ops.segment_sum(edge_weight, row, num_segments=num_nodes)
+    dinv = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+    safe_row = jnp.clip(row, 0, num_nodes - 1)
+    safe_col = jnp.clip(col, 0, num_nodes - 1)
+    normed = dinv[safe_row] * edge_weight * dinv[safe_col]
+    result = (edge_index, normed)
+    if cache is not None:
+        cache[f"adj_normed_edge_{add_self_loop}"] = result
+    return result
+
+
+# ===========================================================================
+# Sampling-support reindexing (host-side)
+# ===========================================================================
+
+def reindex_sampled_edge_index(sampled_edge_index, sampled_node_index):
+    """Relabel edge endpoints into the sampled nodes' local id space
+    (graph_utils.py:946-973; the reference uses a tf StaticHashTable)."""
+    sampled_edge_index = convert_union_to_numpy(sampled_edge_index, np.int64)
+    sampled_node_index = convert_union_to_numpy(sampled_node_index, np.int64)
+    max_id = int(max(sampled_edge_index.max(initial=0), sampled_node_index.max(initial=0))) + 1
+    lookup = np.full(max_id, -1, np.int64)
+    lookup[sampled_node_index] = np.arange(len(sampled_node_index))
+    return lookup[sampled_edge_index].astype(np.int32)
+
+
+def convert_x_to_3d(x, source_index, k=None, pad=True):
+    """Ragged neighbor features → dense [num_sources, k, F] with zero padding
+    (graph_utils.py:215-249). Host-side (k may be data-dependent)."""
+    x = convert_union_to_numpy(x, np.float32)
+    source_index = convert_union_to_numpy(source_index, np.int64)
+    num_sources = int(source_index.max()) + 1 if source_index.size else 0
+    counts = np.bincount(source_index, minlength=num_sources)
+    if k is None:
+        k = int(counts.max()) if counts.size else 0
+    order = np.argsort(source_index, kind="stable")
+    pos_in_group = np.arange(len(source_index)) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+    out = np.zeros((num_sources, k, x.shape[-1]), np.float32)
+    keep = pos_in_group < k
+    out[source_index[order][keep], pos_in_group[keep]] = x[order][keep]
+    return out
+
+
+class LaplacianMaxEigenvalue:
+    """λ_max of the (normalized) Laplacian via scipy eigsh
+    (graph_utils.py:884-909)."""
+
+    def __init__(self, edge_index, num_nodes=None, edge_weight=None):
+        self.edge_index = convert_union_to_numpy(edge_index, np.int32)
+        self.edge_weight = (None if edge_weight is None
+                            else convert_union_to_numpy(edge_weight, np.float32))
+        self.num_nodes = (int(self.edge_index.max()) + 1
+                          if num_nodes is None else int(num_nodes))
+
+    def __call__(self, normalization_type="sym"):
+        from scipy.sparse.linalg import eigsh
+        lap_index, lap_weight = get_laplacian(
+            self.edge_index, self.num_nodes, self.edge_weight, normalization_type)
+        lap = to_scipy_sparse_matrix(convert_union_to_numpy(lap_index),
+                                     convert_union_to_numpy(lap_weight),
+                                     self.num_nodes)
+        vals = eigsh(lap, k=1, which="LM", return_eigenvectors=False)
+        return float(vals[0])
+
+
+# ===========================================================================
+# Neighbor samplers (host-side numpy; reference graph_utils.py:630-880)
+# ===========================================================================
+
+class RandomNeighborSampler:
+    """Per-source adjacency lists built once; draws per-node neighbor subsets.
+
+    Mirrors reference semantics (graph_utils.py:630-802): ``sample`` accepts
+    ``k`` or ``ratio``; ``padding=True`` draws exactly ``k`` neighbors with
+    replacement (TPU-friendly: fixed-k yields dense [N, k] gathers);
+    ``sampled_node_index`` restricts and virtually reindexes the edge list.
+    """
+
+    def __init__(self, edge_index, edge_weight=None, rng=None):
+        edge_index = convert_union_to_numpy(edge_index, np.int64)
+        self.num_nodes = int(edge_index.max()) + 1 if edge_index.size else 0
+        self.edge_weight = (np.ones(edge_index.shape[1], np.float32)
+                            if edge_weight is None
+                            else convert_union_to_numpy(edge_weight, np.float32))
+        self.rng = np.random.default_rng(rng)
+        # CSR-style adjacency built once (graph_utils.py:630-664).
+        order = np.argsort(edge_index[0], kind="stable")
+        self.sorted_col = edge_index[1][order].astype(np.int64)
+        self.sorted_weight = self.edge_weight[order]
+        counts = np.bincount(edge_index[0], minlength=self.num_nodes)
+        self.row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+    def sample(self, k=None, ratio=None, sampled_node_index=None, padding=False):
+        """Returns (edge_index, edge_weight) over (virtually reindexed) nodes."""
+        if sampled_node_index is None:
+            sources = np.arange(self.num_nodes, dtype=np.int64)
+        else:
+            sources = convert_union_to_numpy(sampled_node_index, np.int64)
+
+        rows, cols, weights = [], [], []
+        for local_id, src in enumerate(sources):
+            start, end = self.row_ptr[src], self.row_ptr[src + 1]
+            deg = int(end - start)
+            if deg == 0:
+                if padding and k:
+                    # self-padding: repeat the source itself with zero weight
+                    rows.append(np.full(k, local_id if sampled_node_index is not None
+                                        else src, np.int64))
+                    cols.append(np.full(k, src, np.int64))
+                    weights.append(np.zeros(k, np.float32))
+                continue
+            if k is not None:
+                take = min(k, deg) if not padding else k
+                replace = padding and deg < k
+                pick = self.rng.choice(deg, size=take, replace=replace)
+            elif ratio is not None:
+                take = max(1, int(deg * ratio))
+                pick = self.rng.choice(deg, size=take, replace=False)
+            else:
+                pick = np.arange(deg)
+            chosen_col = self.sorted_col[start + pick]
+            chosen_w = self.sorted_weight[start + pick]
+            row_id = local_id if sampled_node_index is not None else src
+            rows.append(np.full(len(pick), row_id, np.int64))
+            cols.append(chosen_col)
+            weights.append(chosen_w)
+
+        if not rows:
+            return np.zeros((2, 0), np.int32), np.zeros(0, np.float32)
+        row = np.concatenate(rows)
+        col = np.concatenate(cols)
+        weight = np.concatenate(weights)
+        if sampled_node_index is not None:
+            # virtual reindexing of cols into the sampled space; neighbors
+            # outside the sampled set are dropped (graph_utils.py:692-713)
+            lookup = np.full(self.num_nodes, -1, np.int64)
+            lookup[sources] = np.arange(len(sources))
+            new_col = lookup[col]
+            keep = new_col >= 0
+            row, new_col, weight = row[keep], new_col[keep], weight[keep]
+            col = new_col
+        return np.stack([row, col], axis=0).astype(np.int32), weight.astype(np.float32)
+
+
+class UniformNeighborSampler:
+    """Bernoulli(p) edge sampling (graph_utils.py:804-880), numpy-side."""
+
+    def __init__(self, edge_index, edge_weight=None, rng=None):
+        self.edge_index = convert_union_to_numpy(edge_index, np.int64)
+        self.edge_weight = (np.ones(self.edge_index.shape[1], np.float32)
+                            if edge_weight is None
+                            else convert_union_to_numpy(edge_weight, np.float32))
+        self.num_nodes = int(self.edge_index.max()) + 1 if self.edge_index.size else 0
+        self.rng = np.random.default_rng(rng)
+
+    def sample(self, p: float, sampled_node_index=None):
+        keep = self.rng.random(self.edge_index.shape[1]) < p
+        edge_index = self.edge_index[:, keep]
+        edge_weight = self.edge_weight[keep]
+        if sampled_node_index is not None:
+            sources = convert_union_to_numpy(sampled_node_index, np.int64)
+            lookup = np.full(self.num_nodes, -1, np.int64)
+            lookup[sources] = np.arange(len(sources))
+            new_index = lookup[edge_index]
+            ok = (new_index >= 0).all(axis=0)
+            edge_index, edge_weight = new_index[:, ok], edge_weight[ok]
+        return edge_index.astype(np.int32), edge_weight.astype(np.float32)
