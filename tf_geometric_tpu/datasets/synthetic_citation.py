@@ -1,0 +1,108 @@
+"""Synthetic citation-style graphs for offline tests and benchmarks.
+
+The real Planetoid/OGB loaders require downloads; in no-egress environments
+(SURVEY §6 — accuracy parity is checked elsewhere) these generators produce
+graphs with the same *statistical shape*: power-law-ish degrees, class-
+correlated features (an SBM with noisy one-hot-ish features), and standard
+index splits, so training dynamics and throughput are representative.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..data.graph import Graph
+from ..utils.graph_utils import convert_edge_to_directed, remove_self_loop_edge
+
+__all__ = ["synthetic_citation_graph", "synthetic_ogbn_arxiv_like", "FakePlanetoidDataset"]
+
+
+def synthetic_citation_graph(
+    num_nodes: int = 2708,
+    num_features: int = 1433,
+    num_classes: int = 7,
+    avg_degree: float = 4.0,
+    homophily: float = 0.83,
+    feature_signal: float = 4.0,
+    seed: int = 0,
+) -> Graph:
+    """Cora-shaped SBM: homophilous edges + class-informative sparse features."""
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, num_classes, size=num_nodes).astype(np.int32)
+
+    num_edges = int(num_nodes * avg_degree / 2)
+    src = rng.integers(0, num_nodes, size=num_edges * 2)
+    # draw destinations: same-class with prob `homophily`
+    same_class = rng.random(num_edges * 2) < homophily
+    dst = rng.integers(0, num_nodes, size=num_edges * 2)
+    # rejection-free same-class assignment via per-class node pools
+    class_pools = [np.nonzero(y == c)[0] for c in range(num_classes)]
+    for c in range(num_classes):
+        pool = class_pools[c]
+        if len(pool) == 0:
+            continue
+        mask = same_class & (y[src] == c)
+        dst[mask] = pool[rng.integers(0, len(pool), size=mask.sum())]
+    edge_index = np.stack([src, dst], axis=0)[:, :num_edges * 2]
+    edge_index, _ = remove_self_loop_edge(edge_index)
+    edge_index, _ = convert_edge_to_directed(edge_index)
+
+    # sparse bag-of-words-ish features: class-specific word blocks + noise
+    words_per_class = max(1, num_features // num_classes)
+    x = np.zeros((num_nodes, num_features), np.float32)
+    n_active = max(5, num_features // 60)
+    for i in range(num_nodes):
+        base = y[i] * words_per_class
+        signal_words = base + rng.integers(0, words_per_class, size=n_active)
+        noise_words = rng.integers(0, num_features, size=n_active)
+        x[i, signal_words % num_features] += feature_signal
+        x[i, noise_words] += 1.0
+    row_sum = x.sum(axis=-1, keepdims=True)
+    x /= np.maximum(row_sum, 1e-8)
+
+    return Graph(x=x, edge_index=edge_index, y=y)
+
+
+def synthetic_ogbn_arxiv_like(
+    num_nodes: int = 169_343,
+    num_edges: int = 1_166_243,
+    num_features: int = 128,
+    num_classes: int = 40,
+    seed: int = 0,
+) -> Graph:
+    """ogbn-arxiv-scale graph for throughput benchmarks (dense float features,
+    directed citation edges with skewed in-degree)."""
+    rng = np.random.default_rng(seed)
+    # skewed destinations (preferential-attachment-ish via squared uniform)
+    dst = (rng.random(num_edges) ** 2 * num_nodes).astype(np.int64)
+    src = rng.integers(0, num_nodes, size=num_edges)
+    edge_index = np.stack([dst, src], axis=0).astype(np.int32)
+    x = rng.normal(size=(num_nodes, num_features)).astype(np.float32)
+    y = rng.integers(0, num_classes, size=num_nodes).astype(np.int32)
+    return Graph(x=x, edge_index=edge_index, y=y)
+
+
+class FakePlanetoidDataset:
+    """Drop-in replacement for PlanetoidDataset when the real files are
+    unavailable: same return contract ``(graph, (train, valid, test))``."""
+
+    _SHAPES = {
+        "cora": dict(num_nodes=2708, num_features=1433, num_classes=7),
+        "citeseer": dict(num_nodes=3327, num_features=3703, num_classes=6),
+        "pubmed": dict(num_nodes=19717, num_features=500, num_classes=3),
+    }
+
+    def __init__(self, dataset_name: str = "cora", seed: int = 0):
+        self.dataset_name = dataset_name
+        self.seed = seed
+
+    def load_data(self):
+        shape = self._SHAPES[self.dataset_name]
+        graph = synthetic_citation_graph(seed=self.seed, **shape)
+        num_classes = shape["num_classes"]
+        n_train = num_classes * 20
+        train_index = list(range(n_train))
+        valid_index = list(range(n_train, n_train + 500))
+        test_index = list(range(shape["num_nodes"] - 1000, shape["num_nodes"]))
+        return graph, (train_index, valid_index, test_index)
