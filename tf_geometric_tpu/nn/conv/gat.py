@@ -1,0 +1,90 @@
+"""GAT: transformer-style graph attention (reference: nn/conv/gat.py:13-122).
+
+Math per head h (reference :49-89): Q = act(xW_q + b_q), K = act(xW_k + b_k),
+V = xW_v; per-edge score = <Q[row], K[col]> / sqrt(d_head); softmax over each
+destination's incoming edges; attention-weighted SpMM with V; heads concat
+(``split_value_heads=True``) or mean.
+
+TPU-native shape choice: instead of the reference's virtual-node trick
+(head h's edges offset by ``h*num_nodes`` into one [N·H, N·H] matrix,
+gat.py:73-89), heads live in a tensor dimension: scores are [E, H] and one
+segment-softmax/segment-sum vectorizes across the head lane — identical
+semantics, no index inflation, and the H lane maps onto VPU lanes.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...sparse.matrix import SparseMatrix
+from ...utils.graph_utils import add_self_loop_edge
+from ..kernel.segment import segment_softmax, segment_sum
+
+__all__ = ["gat"]
+
+
+def gat(x, edge_index,
+        query_kernel, query_bias, query_activation,
+        key_kernel, key_bias, key_activation,
+        kernel, bias=None, activation=None, num_heads: int = 1,
+        split_value_heads: bool = True, edge_drop_rate: float = 0.0,
+        training: bool = False, dropout_key=None, num_nodes: Optional[int] = None):
+    """Functional GAT forward. ``x`` may be dense or SparseMatrix."""
+    if num_nodes is None:
+        num_nodes = x.shape[0]
+
+    # self-attention includes each node itself (gat.py:43)
+    edge_index, _ = add_self_loop_edge(edge_index, num_nodes)
+    row, col = edge_index[0], edge_index[1]
+    safe_row = jnp.clip(row, 0, num_nodes - 1)
+    safe_col = jnp.clip(col, 0, num_nodes - 1)
+
+    def project(feat, w):
+        if isinstance(feat, SparseMatrix):
+            return feat.matmul(w)
+        return feat @ w
+
+    Q = project(x, query_kernel) + query_bias
+    if query_activation is not None:
+        Q = query_activation(Q)
+    K = project(x, key_kernel) + key_bias
+    if key_activation is not None:
+        K = key_activation(K)
+    V = project(x, kernel)
+
+    E = row.shape[0]
+    d_q = Q.shape[-1] // num_heads
+    d_v = V.shape[-1] // num_heads
+    Qh = Q.reshape(num_nodes, num_heads, d_q)
+    Kh = K.reshape(num_nodes, num_heads, d_q)
+    Vh = V.reshape(num_nodes, num_heads, d_v)
+
+    # SDDMM: per-edge, per-head score (gat.py:78-79)
+    scale = jnp.sqrt(jnp.asarray(d_q, jnp.float32))
+    att = jnp.sum(jnp.take(Qh, safe_row, axis=0) * jnp.take(Kh, safe_col, axis=0),
+                  axis=-1) / scale  # [E, H]
+
+    # softmax over each destination's incoming edges, vectorized across heads
+    att = segment_softmax(att, row, num_nodes)
+
+    if training and edge_drop_rate > 0.0 and dropout_key is not None:
+        keep = jax.random.bernoulli(dropout_key, 1.0 - edge_drop_rate, att.shape)
+        att = jnp.where(keep, att / (1.0 - edge_drop_rate), 0.0)
+
+    # attention-weighted aggregation (gat.py:89): [E, H, d_v] → [N, H, d_v]
+    msg = jnp.take(Vh, safe_col, axis=0) * att[:, :, None]
+    h_heads = segment_sum(msg.reshape(E, num_heads * d_v), row, num_nodes)
+    h_heads = h_heads.reshape(num_nodes, num_heads, d_v)
+
+    if split_value_heads:
+        h = h_heads.reshape(num_nodes, num_heads * d_v)  # concat (gat.py:111-112)
+    else:
+        h = jnp.mean(h_heads, axis=1)  # mean of heads (gat.py:113-114)
+
+    if bias is not None:
+        h = h + bias
+    if activation is not None:
+        h = activation(h)
+    return h
