@@ -103,6 +103,5 @@ def make_graph_parallel_gcn_step(mesh: Mesh, graph_axis: str = "graph",
         in_specs=(P(), P(), shard_spec, edge_spec, edge_spec, edge_spec,
                   P(graph_axis), P(graph_axis)),
         out_specs=(P(), P(), P()),
-        check_rep=False,
     )
     return jax.jit(step), optimizer
