@@ -1,103 +1,9 @@
-"""Segment reduction primitives — the innermost compute layer.
+"""Segment reduction primitives — re-exported from the package-root core
+module (``tf_geometric_tpu/_segment_core.py``) so that ``sparse`` can use
+them without importing the full ``nn`` package (avoids a circular import:
+``nn/__init__`` pulls in conv ops which build on ``sparse``)."""
+from ..._segment_core import (segment_sum, segment_mean, segment_max, segment_min,
+                              segment_softmax, segment_count, segment_normalize)
 
-TPU-native counterpart of the reference's segment kernel
-(``tf_geometric/nn/kernel/segment.py:5-40`` in the reference repo): the same
-semantics (max-subtracted segment softmax with eps=1e-8, segment counting,
-min/max segment reductions) expressed as XLA scatter/segment programs with
-**static** ``num_segments`` so everything jits to a single fused TPU program.
-
-Conventions that make these ops padding-friendly:
-
-* ``num_segments`` is always static (a Python int) — required under ``jit``.
-* Out-of-range segment ids (``>= num_segments`` or negative) are *dropped* by
-  XLA's scatter semantics. Padded edges therefore use ``segment_id =
-  num_segments`` and contribute nothing — no masks needed in the hot loop.
-"""
-from __future__ import annotations
-
-import jax
-import jax.numpy as jnp
-
-__all__ = [
-    "segment_sum",
-    "segment_mean",
-    "segment_max",
-    "segment_min",
-    "segment_softmax",
-    "segment_count",
-    "segment_normalize",
-]
-
-
-def segment_sum(data, segment_ids, num_segments: int, indices_are_sorted: bool = False):
-    """Sum ``data`` rows into ``num_segments`` buckets keyed by ``segment_ids``."""
-    return jax.ops.segment_sum(
-        data, segment_ids, num_segments=num_segments,
-        indices_are_sorted=indices_are_sorted,
-    )
-
-
-def segment_count(segment_ids, num_segments: int, weights=None):
-    """Number of elements (or total weight) landing in each segment.
-
-    Mirrors reference ``segment_count`` (segment.py:36-40).
-    """
-    if weights is None:
-        weights = jnp.ones(segment_ids.shape, dtype=jnp.float32)
-    return jax.ops.segment_sum(weights, segment_ids, num_segments=num_segments)
-
-
-def segment_mean(data, segment_ids, num_segments: int, indices_are_sorted: bool = False):
-    """Per-segment mean; empty segments produce 0 (eps-guarded denominator)."""
-    total = segment_sum(data, segment_ids, num_segments, indices_are_sorted)
-    count = segment_count(segment_ids, num_segments)
-    count = jnp.maximum(count, 1.0)
-    return total / jnp.reshape(count, count.shape + (1,) * (total.ndim - count.ndim))
-
-
-def segment_max(data, segment_ids, num_segments: int, indices_are_sorted: bool = False):
-    """Per-segment max; empty segments produce 0 (reference zero-pads, segment.py:5-23)."""
-    out = jax.ops.segment_max(
-        data, segment_ids, num_segments=num_segments,
-        indices_are_sorted=indices_are_sorted,
-    )
-    # jax fills empty segments with -inf; the reference's segment_op_with_pad
-    # zero-fills them instead. Match the reference.
-    return jnp.where(jnp.isfinite(out), out, 0.0)
-
-
-def segment_min(data, segment_ids, num_segments: int, indices_are_sorted: bool = False):
-    """Per-segment min; empty segments produce 0."""
-    out = jax.ops.segment_min(
-        data, segment_ids, num_segments=num_segments,
-        indices_are_sorted=indices_are_sorted,
-    )
-    return jnp.where(jnp.isfinite(out), out, 0.0)
-
-
-def segment_softmax(data, segment_ids, num_segments: int, eps: float = 1e-8):
-    """Numerically-stable softmax within each segment.
-
-    Matches reference semantics (segment.py:26-33): subtract the per-segment
-    max, exponentiate, normalize by the per-segment sum with ``eps`` added to
-    the denominator. Out-of-range ids (padded edges) yield 0 contributions and
-    read back a 0 max / 0 sum, so padded entries produce finite garbage that
-    callers multiply by zero weights.
-    """
-    seg_max = jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
-    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
-    # Gather per-element max; clip ids so padded (out-of-range) rows gather row 0
-    # harmlessly — their exp value never lands anywhere.
-    safe_ids = jnp.clip(segment_ids, 0, num_segments - 1)
-    shifted = data - jnp.take(seg_max, safe_ids, axis=0)
-    exped = jnp.exp(shifted)
-    seg_sum = jax.ops.segment_sum(exped, segment_ids, num_segments=num_segments)
-    denom = jnp.take(seg_sum, safe_ids, axis=0) + eps
-    return exped / denom
-
-
-def segment_normalize(data, segment_ids, num_segments: int, eps: float = 1e-8):
-    """Divide each element by its segment's sum (L1 normalization per segment)."""
-    seg_sum = jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
-    safe_ids = jnp.clip(segment_ids, 0, num_segments - 1)
-    return data / (jnp.take(seg_sum, safe_ids, axis=0) + eps)
+__all__ = ["segment_sum", "segment_mean", "segment_max", "segment_min",
+           "segment_softmax", "segment_count", "segment_normalize"]

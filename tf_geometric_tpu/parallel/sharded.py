@@ -82,16 +82,18 @@ def make_graph_parallel_gcn_step(mesh: Mesh, graph_axis: str = "graph",
                 logits, jnp.clip(y_local, 0, None))
             local_sum = jnp.sum(ce * mask_local)
             local_cnt = jnp.sum(mask_local)
-            total = jax.lax.psum(local_sum, all_axes)
-            count = jax.lax.psum(local_cnt, all_axes)
+            total = jax.lax.psum(local_sum, graph_axis)
+            count = jax.lax.psum(local_cnt, graph_axis)
             return total / jnp.maximum(count, 1.0)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         # Each device's grads hold only its local contribution to the global
         # loss (psum's AD transpose is a broadcast, and cross-device feature
         # terms already flowed through the all_gather transpose); summing over
-        # every mesh axis yields the full replicated gradient.
-        grads = jax.tree.map(lambda g: jax.lax.psum(g, all_axes), grads)
+        # the graph axis yields the full gradient. Inputs are replicated along
+        # any data axis, so values stay invariant there (vma-typed) — no
+        # further reduction needed.
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, graph_axis), grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

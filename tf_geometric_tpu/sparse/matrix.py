@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..nn.kernel import segment as _seg
+from .. import _segment_core as _seg
 
 __all__ = ["SparseMatrix", "diags", "eye", "concat", "sparse_shape"]
 
