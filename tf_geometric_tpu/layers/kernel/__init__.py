@@ -1,0 +1,1 @@
+from .map_reduce import MapReduceGNN

@@ -1,0 +1,2 @@
+from .pool_layers import (CommonPool, MeanPool, SumPool, MaxPool, MinPool,
+                          DiffPool, MinCutPool, SAGPool, SortPool, ASAP, Set2Set)

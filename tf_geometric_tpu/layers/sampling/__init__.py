@@ -1,0 +1,1 @@
+from .drop_edge import DropEdge
