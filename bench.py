@@ -2,11 +2,18 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Runs on whatever accelerator JAX resolves (the axon TPU v5e in this
-environment; CPU elsewhere). The workload is the reference's north-star
-config (BASELINE.json): 2-layer GCN full training step (forward + backward +
-Adam) over a graph with ogbn-arxiv's node/edge counts. ``vs_baseline`` is
-measured throughput / SpMM HBM-bandwidth roofline estimate (target ≥0.8).
+Workload: the north-star config (BASELINE.json) — full training step
+(forward + backward + Adam) of a 2-layer GCN over a graph with ogbn-arxiv's
+node/edge counts, using the production ELL-packed SpMM path (ops/ell.py).
+
+Timing note: on the axon TPU tunnel ``block_until_ready`` does not actually
+synchronize, so the measurement chains dependent steps (params feed forward)
+and fits a slope between two iteration counts, draining the queue with a
+small device_get.
+
+``vs_baseline`` = measured edges/s ÷ SpMM HBM-roofline edges/s (target ≥0.8
+per BASELINE.md; the roofline charges each SpMM pass its streaming bytes at
+819 GB/s — random-gather transaction limits make this a hard ceiling).
 """
 import json
 import time
@@ -20,18 +27,22 @@ def main():
     import optax
 
     from tf_geometric_tpu.datasets.synthetic_citation import synthetic_ogbn_arxiv_like
-    from tf_geometric_tpu.nn.conv.gcn import gcn_norm_adj
+    from tf_geometric_tpu.nn.conv.gcn import (compute_cache_key, gcn_norm_adj,
+                                              maybe_compile_ell)
     from tf_geometric_tpu.sparse import SparseMatrix
 
     NUM_CLASSES, HIDDEN = 40, 256
+    from tf_geometric_tpu.ops import config as kernel_config
+    kernel_config.set_ell_compute_dtype(jnp.bfloat16)
 
     graph = synthetic_ogbn_arxiv_like()
     num_nodes, num_features = graph.x.shape
+    cache = {}
     normed = gcn_norm_adj(SparseMatrix(graph.edge_index, graph.edge_weight,
-                                       (num_nodes, num_nodes)))
-    index = jnp.asarray(normed.index)
-    value = jnp.asarray(normed.value)
-    num_edges_normed = int(index.shape[1])
+                                       (num_nodes, num_nodes)), cache=cache)
+    num_edges_normed = int(normed.index.shape[1])
+    adj = maybe_compile_ell(normed, cache,
+                            compute_cache_key("both", True, True, True, False))
     x = jnp.asarray(graph.x)
     y = jnp.asarray(graph.y)
 
@@ -46,7 +57,6 @@ def main():
     }
     optimizer = optax.adam(1e-2)
     opt_state = optimizer.init(params)
-    adj = SparseMatrix(index, value, (num_nodes, num_nodes))
 
     def loss_fn(p):
         h = jax.nn.relu(adj.matmul(x @ p["w0"]) + p["b0"])
@@ -59,29 +69,31 @@ def main():
         updates, s = optimizer.update(grads, s, p)
         return optax.apply_updates(p, updates), s, loss
 
-    # warmup / compile
+    # compile + drain
     params, opt_state, loss = train_step(params, opt_state)
-    jax.block_until_ready(loss)
+    _ = np.asarray(loss)
 
-    iters = 30
-    start = time.time()
-    for _ in range(iters):
-        params, opt_state, loss = train_step(params, opt_state)
-    jax.block_until_ready(loss)
-    elapsed = time.time() - start
+    def run(iters, p, s):
+        t = time.time()
+        for _ in range(iters):
+            p, s, l = train_step(p, s)
+        _ = np.asarray(l)  # drains the dependent chain
+        return time.time() - t, p, s
 
-    step_time = elapsed / iters
+    _, params, opt_state = run(2, params, opt_state)
+    t_lo, params, opt_state = run(5, params, opt_state)
+    t_hi, params, opt_state = run(25, params, opt_state)
+    step_time = (t_hi - t_lo) / 20
     edges_per_sec = num_edges_normed / step_time
 
-    # SpMM HBM roofline: per fwd SpMM, bytes ≈ E·(4B val + 8B idx + F·4B
-    # gathered rows) + N·F·4B output; fwd+bwd ≈ 2 layers × (1 fwd + 2 bwd
-    # SpMM-shaped passes). v5e HBM BW ≈ 819 GB/s.
+    # SpMM HBM roofline per training step: 2 layers × (fwd SpMM + bwd dh SpMM
+    # + bwd SDDMM-sized traffic) over E random row reads (F·4B) + N·F writes.
     backend = jax.default_backend()
     hbm_bw = 819e9 if backend == "tpu" else 50e9
     f_avg = (num_features + HIDDEN) / 2
-    bytes_per_spmm = (num_edges_normed * (4 + 8 + f_avg * 4)
+    bytes_per_spmm = (num_edges_normed * (8 + f_avg * 4)
                       + num_nodes * f_avg * 4)
-    spmm_passes = 2 * 3  # 2 layers × (fwd + dh + dvalue-sized traffic)
+    spmm_passes = 2 * 3
     roofline_step_time = spmm_passes * bytes_per_spmm / hbm_bw
     roofline_edges_per_sec = num_edges_normed / roofline_step_time
 

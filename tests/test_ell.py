@@ -1,0 +1,102 @@
+"""ELL-packed SpMM vs COO/dense oracles."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tf_geometric_tpu.ops.ell import EllAdj, ell_spmm
+from tf_geometric_tpu.sparse import SparseMatrix
+from tests.conftest import dense_adj, random_graph
+
+
+def test_ell_matches_dense(rng):
+    x, ei, ew = random_graph(rng, 50, 300, 16)
+    ell = EllAdj.from_coo(ei, ew, (50, 50))
+    dense = dense_adj(ei, ew, 50)
+    out = ell.matmul(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), dense @ x, rtol=1e-3, atol=1e-3)
+    # via @ and feature splits
+    np.testing.assert_allclose(np.asarray(ell @ jnp.asarray(x)), dense @ x,
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(ell.matmul(jnp.asarray(x), num_or_size_splits=2)),
+        dense @ x, rtol=1e-3, atol=1e-3)
+
+
+def test_ell_drops_padded_edges(rng):
+    x, ei, ew = random_graph(rng, 30, 100, 8)
+    ei_pad = np.concatenate([ei, np.full((2, 7), 30, np.int32)], axis=1)
+    ew_pad = np.concatenate([ew, np.zeros(7, np.float32)])
+    ell = EllAdj.from_coo(ei_pad, ew_pad, (30, 30))
+    dense = dense_adj(ei, ew, 30)
+    np.testing.assert_allclose(np.asarray(ell @ jnp.asarray(x)), dense @ x,
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_ell_grads_match_dense(rng):
+    x, ei, ew = random_graph(rng, 25, 120, 6)
+    ell = EllAdj.from_coo(ei, ew, (25, 25))
+    dense = jnp.asarray(dense_adj(ei, ew, 25))
+
+    def loss_ell(h):
+        return jnp.sum(ell_spmm(ell, h) ** 2)
+
+    def loss_dense(h):
+        return jnp.sum((dense @ h) ** 2)
+
+    gh = jax.grad(loss_ell)(jnp.asarray(x))
+    gh_dense = jax.grad(loss_dense)(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(gh_dense),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_ell_value_grads(rng):
+    """d(value) per slot: matches the dense dL/dA entries."""
+    x, ei, ew = random_graph(rng, 15, 60, 4)
+    # dedupe edges so per-entry comparison is well-defined
+    key = ei[0].astype(np.int64) * 15 + ei[1]
+    _, first = np.unique(key, return_index=True)
+    ei, ew = ei[:, first], ew[first]
+    ell = EllAdj.from_coo(ei, ew, (15, 15))
+    xs = jnp.asarray(x)
+
+    def loss(slots_val, tail_val):
+        kw = {n: getattr(ell, n) for n in EllAdj._LEAVES}
+        kw.update(slots_val=slots_val, tail_val=tail_val, shape=ell.shape)
+        return jnp.sum(ell_spmm(EllAdj(**kw), xs, diff_values=True) ** 2)
+
+    g_slots, g_tail = jax.grad(loss, argnums=(0, 1))(ell.slots_val, ell.tail_val)
+
+    class G:  # minimal namespace matching the assertions below
+        slots_val = g_slots
+
+    g = G()
+    dense = jnp.asarray(dense_adj(ei, ew, 15))
+    ga = jax.grad(lambda a: jnp.sum((a @ xs) ** 2))(dense)
+    ga = np.asarray(ga)
+
+    # reassemble per-edge grads from the ELL slot/tail layout
+    slots_col = np.asarray(ell.slots_col)
+    slots_val = np.asarray(ell.slots_val)
+    d_slots = np.asarray(g.slots_val)
+    for n in range(15):
+        for k in range(slots_col.shape[1]):
+            if slots_val[n, k] != 0:
+                np.testing.assert_allclose(d_slots[n, k], ga[n, slots_col[n, k]],
+                                           rtol=1e-3, atol=1e-3)
+
+
+def test_gcn_uses_ell_when_cached(rng):
+    from tf_geometric_tpu.nn.conv.gcn import compute_cache_key, gcn
+    x, ei, ew = random_graph(rng, 20, 80, 8)
+    adj = SparseMatrix(ei, ew, (20, 20))
+    w = jnp.asarray(rng.normal(size=(8, 5)).astype(np.float32))
+    out_plain = gcn(jnp.asarray(x), adj, w)
+    cache = {}
+    out_cached = gcn(jnp.asarray(x), adj, w, cache=cache)
+    assert any(key.endswith(":ell") for key in cache)
+    np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_cached),
+                               rtol=1e-3, atol=1e-3)
+    # training with edge dropout falls back to the COO path (no error)
+    out_drop = gcn(jnp.asarray(x), adj, w, cache=cache, training=True,
+                   edge_drop_rate=0.5, dropout_key=jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(out_drop)).all()

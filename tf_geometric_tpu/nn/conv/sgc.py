@@ -2,7 +2,7 @@
 from __future__ import annotations
 
 from ...sparse.matrix import SparseMatrix
-from .gcn import gcn_norm_adj
+from .gcn import compute_cache_key, gcn_norm_adj, maybe_compile_ell
 
 __all__ = ["sgc"]
 
@@ -14,6 +14,8 @@ def sgc(x, edge_index, edge_weight, k: int, kernel, bias=None, activation=None,
     normed_adj = gcn_norm_adj(
         SparseMatrix(edge_index, edge_weight, (num_nodes, num_nodes)),
         renorm=renorm, improved=improved, cache=cache)
+    normed_adj = maybe_compile_ell(
+        normed_adj, cache, compute_cache_key("both", True, True, renorm, improved))
 
     h = x.matmul(kernel) if isinstance(x, SparseMatrix) else x @ kernel
     for _ in range(k):

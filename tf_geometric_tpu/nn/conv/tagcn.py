@@ -5,7 +5,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ...sparse.matrix import SparseMatrix
-from .gcn import gcn_norm_adj
+from .gcn import compute_cache_key, gcn_norm_adj, maybe_compile_ell
 
 __all__ = ["tagcn"]
 
@@ -16,6 +16,8 @@ def tagcn(x, edge_index, edge_weight, k: int, kernel, bias=None, activation=None
     normed_adj = gcn_norm_adj(
         SparseMatrix(edge_index, edge_weight, (num_nodes, num_nodes)),
         renorm=renorm, improved=improved, cache=cache)
+    normed_adj = maybe_compile_ell(
+        normed_adj, cache, compute_cache_key("both", True, True, renorm, improved))
 
     if isinstance(x, SparseMatrix):
         x = x.to_dense()

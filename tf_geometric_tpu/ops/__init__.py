@@ -1,1 +1,1 @@
-from . import spmm, pallas_spmm
+from . import spmm, pallas_spmm, ell, config

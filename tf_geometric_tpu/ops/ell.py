@@ -1,0 +1,281 @@
+"""ELL-packed SpMM — the production sparse format for TPU.
+
+Why: XLA's COO gather+scatter SpMM on TPU is **transaction-bound** — each
+random row access costs ~4-5ns regardless of row width, and the unsorted
+scatter serializes. Measured on a v5e for an ogbn-arxiv-scale graph
+(1.33M edges, F=128): unsorted COO 23.3ms → row-sorted COO 14.5ms → ELL(K=8)
+5.67ms (235M edges/s), a 4.1× end-to-end kernel speedup. The ELL layout
+
+    slots_col/slots_val: [N, K]   (first K in-edges of each row; pad → row 0 / 0.0)
+    tail: row-sorted COO of the overflow edges
+
+turns the per-destination reduction into K dense gathers + adds (no scatter
+at all) with a small sorted-COO tail. K defaults to ~mean degree (the
+measured optimum; larger K wastes gathers on padding, smaller K grows the
+expensive tail).
+
+Backward: dh = Aᵀ·dy uses a precomputed *transpose ELL* of the same graph;
+d(value) is a per-slot SDDMM (gathers only). Both directions scatter-free.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.union_utils import convert_union_to_numpy
+
+__all__ = ["EllAdj", "build_ell_arrays", "ell_spmm"]
+
+
+def build_ell_arrays(rows, cols, vals, num_rows: int, num_cols: int, K: int):
+    """Host-side ELL packing (vectorized numpy): first K edges per row into
+    slots, overflow into a row-sorted COO tail padded to a multiple of 128."""
+    order = np.argsort(rows, kind="stable")
+    r, c, v = rows[order], cols[order], vals[order]
+    counts = np.bincount(r, minlength=num_rows) if len(r) else np.zeros(num_rows, np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(len(r)) - starts[r] if len(r) else np.zeros(0, np.int64)
+    in_ell = pos < K
+    slots_col = np.zeros((num_rows, K), np.int32)
+    slots_val = np.zeros((num_rows, K), np.float32)
+    slots_col[r[in_ell], pos[in_ell]] = c[in_ell]
+    slots_val[r[in_ell], pos[in_ell]] = v[in_ell]
+    tr, tc, tv = r[~in_ell], c[~in_ell], v[~in_ell]
+    # pad the tail to a bucket boundary so repeated builds hit the jit cache
+    pad = (-len(tr)) % 128
+    if pad:
+        tr = np.concatenate([tr, np.full(pad, num_rows, np.int64)])
+        tc = np.concatenate([tc, np.zeros(pad, np.int64)])
+        tv = np.concatenate([tv, np.zeros(pad, np.float32)])
+    return (slots_col, slots_val, tr.astype(np.int32), tc.astype(np.int32),
+            tv.astype(np.float32))
+
+
+def _choose_k(num_edges: int, num_rows: int) -> int:
+    mean_deg = max(1.0, num_edges / max(num_rows, 1))
+    k = 1
+    while k < mean_deg and k < 32:
+        k *= 2
+    return k
+
+
+def _ell_matmul_raw(slots_col, slots_val, tail_row, tail_col, tail_val,
+                    h, num_rows: int):
+    """K dense gathers + sorted-COO tail; no scatter for the slot part."""
+    K = slots_col.shape[1]
+    n_src = h.shape[0]
+    out = jnp.zeros((num_rows,) + h.shape[1:], h.dtype)
+    for k in range(K):
+        col_k = jnp.clip(slots_col[:, k], 0, n_src - 1)
+        out = out + jnp.take(h, col_k, axis=0) * slots_val[:, k:k + 1].astype(h.dtype)
+    if tail_row.shape[0]:
+        safe_tc = jnp.clip(tail_col, 0, n_src - 1)
+        tmsg = jnp.take(h, safe_tc, axis=0) * tail_val[:, None].astype(h.dtype)
+        out = out + jax.ops.segment_sum(tmsg, tail_row, num_segments=num_rows,
+                                        indices_are_sorted=True)
+    return out
+
+
+# custom VJP: nondiff args = int index arrays + static num_rows; transpose
+# arrays are residual inputs used only in backward.
+def _ell_spmm_impl(slots_col, tail_row, tail_col, t_slots_col, t_tail_row,
+                   t_tail_col, num_rows, num_cols,
+                   slots_val, tail_val, t_slots_val, t_tail_val, h):
+    return _ell_matmul_raw(slots_col, slots_val, tail_row, tail_col, tail_val,
+                           h, num_rows)
+
+
+_ell_spmm_vjp = jax.custom_vjp(_ell_spmm_impl, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+
+
+def _ell_fwd(slots_col, tail_row, tail_col, t_slots_col, t_tail_row, t_tail_col,
+             num_rows, num_cols, slots_val, tail_val, t_slots_val, t_tail_val, h):
+    out = _ell_matmul_raw(slots_col, slots_val, tail_row, tail_col, tail_val,
+                          h, num_rows)
+    return out, (slots_val, tail_val, t_slots_val, t_tail_val, h)
+
+
+def _ell_bwd(slots_col, tail_row, tail_col, t_slots_col, t_tail_row, t_tail_col,
+             num_rows, num_cols, residuals, dy):
+    slots_val, tail_val, t_slots_val, t_tail_val, h = residuals
+    # dh = Aᵀ dy via the transpose ELL (scatter-free again)
+    dh = _ell_matmul_raw(t_slots_col, t_slots_val, t_tail_row, t_tail_col,
+                         t_tail_val, dy, num_cols)
+    # value grads: per-slot SDDMM (gathers only)
+    n_src = h.shape[0]
+    d_slots_val = jnp.stack([
+        jnp.sum(dy * jnp.take(h, jnp.clip(slots_col[:, k], 0, n_src - 1), axis=0),
+                axis=-1)
+        for k in range(slots_col.shape[1])], axis=1).astype(slots_val.dtype)
+    # padded slots (val 0, col 0) get spurious grads; zero them via the mask
+    d_slots_val = jnp.where(slots_val != 0, d_slots_val, 0.0)
+    if tail_row.shape[0]:
+        safe_tr = jnp.clip(tail_row, 0, num_rows - 1)
+        d_tail_val = jnp.sum(
+            jnp.take(dy, safe_tr, axis=0)
+            * jnp.take(h, jnp.clip(tail_col, 0, n_src - 1), axis=0), axis=-1)
+        d_tail_val = jnp.where((tail_row >= 0) & (tail_row < num_rows),
+                               d_tail_val, 0.0).astype(tail_val.dtype)
+    else:
+        d_tail_val = jnp.zeros_like(tail_val)
+    # transpose values receive no cotangent (they mirror the primal values)
+    return (d_slots_val, d_tail_val, jnp.zeros_like(t_slots_val),
+            jnp.zeros_like(t_tail_val), dh)
+
+
+_ell_spmm_vjp.defvjp(_ell_fwd, _ell_bwd)
+
+
+# -- values-constant variant ------------------------------------------------
+# Most uses treat the normalized adjacency as a constant (the reference's
+# cache semantics); skipping the d(value) SDDMM saves a full SpMM-worth of
+# gathers per layer in backward. Values ride as residuals, only h is diff.
+
+def _ell_spmm_honly_impl(slots_col, tail_row, tail_col, t_slots_col, t_tail_row,
+                         t_tail_col, num_rows, num_cols,
+                         slots_val, tail_val, t_slots_val, t_tail_val, h):
+    return _ell_matmul_raw(slots_col, slots_val, tail_row, tail_col, tail_val,
+                           h, num_rows)
+
+
+_ell_spmm_honly = jax.custom_vjp(_ell_spmm_honly_impl,
+                                 nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+
+
+def _ell_honly_fwd(slots_col, tail_row, tail_col, t_slots_col, t_tail_row,
+                   t_tail_col, num_rows, num_cols,
+                   slots_val, tail_val, t_slots_val, t_tail_val, h):
+    out = _ell_matmul_raw(slots_col, slots_val, tail_row, tail_col, tail_val,
+                          h, num_rows)
+    return out, (t_slots_val, t_tail_val)
+
+
+def _ell_honly_bwd(slots_col, tail_row, tail_col, t_slots_col, t_tail_row,
+                   t_tail_col, num_rows, num_cols, residuals, dy):
+    t_slots_val, t_tail_val = residuals
+    dh = _ell_matmul_raw(t_slots_col, t_slots_val, t_tail_row, t_tail_col,
+                         t_tail_val, dy, num_cols)
+    return (None, None, None, None, dh)
+
+
+_ell_spmm_honly.defvjp(_ell_honly_fwd, _ell_honly_bwd)
+
+
+def ell_spmm(ell: "EllAdj", h, diff_values: bool = False, compute_dtype=None):
+    """A @ h with the ELL layout. ``diff_values=True`` additionally produces
+    per-slot value cotangents (an extra SDDMM in backward); the default
+    treats the adjacency as constant — the common cached-normalization case.
+
+    ``compute_dtype`` (or the global ``ops.config.ell_compute_dtype``) runs
+    the gather/accumulate in a lower precision (bf16 ≈ 1.6× at F≥256) and
+    casts the result back to ``h.dtype``.
+    """
+    from . import config as _config
+    cd = compute_dtype if compute_dtype is not None else _config.ell_compute_dtype
+    orig_dtype = h.dtype
+    if cd is not None and orig_dtype != cd:
+        h = h.astype(cd)
+    fn = _ell_spmm_vjp if diff_values else _ell_spmm_honly
+    out = fn(
+        ell.slots_col, ell.tail_row, ell.tail_col,
+        ell.t_slots_col, ell.t_tail_row, ell.t_tail_col,
+        ell.shape[0], ell.shape[1],
+        ell.slots_val, ell.tail_val, ell.t_slots_val, ell.t_tail_val, h)
+    if cd is not None and orig_dtype != cd:
+        out = out.astype(orig_dtype)
+    return out
+
+
+@jax.tree_util.register_pytree_node_class
+class EllAdj:
+    """Dual (forward + transpose) ELL-packed sparse adjacency.
+
+    Duck-types the slice of the SparseMatrix interface the conv ops use
+    (``matmul`` / ``@`` / ``dropout``), so normalization caches can hand an
+    EllAdj to any propagation loop transparently.
+    """
+
+    __slots__ = ("slots_col", "slots_val", "tail_row", "tail_col", "tail_val",
+                 "t_slots_col", "t_slots_val", "t_tail_row", "t_tail_col",
+                 "t_tail_val", "_shape")
+
+    _LEAVES = ("slots_col", "slots_val", "tail_row", "tail_col", "tail_val",
+               "t_slots_col", "t_slots_val", "t_tail_row", "t_tail_col",
+               "t_tail_val")
+
+    def __init__(self, **kw):
+        for name in self._LEAVES:
+            setattr(self, name, kw[name])
+        self._shape = tuple(kw["shape"])
+
+    def tree_flatten(self):
+        return tuple(getattr(self, n) for n in self._LEAVES), self._shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        for n, c in zip(cls._LEAVES, children):
+            setattr(obj, n, c)
+        obj._shape = aux
+        return obj
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @classmethod
+    def from_coo(cls, index, value, shape, k: Optional[int] = None) -> "EllAdj":
+        """Host-side build from concrete COO arrays (eager only)."""
+        index = convert_union_to_numpy(index, np.int64)
+        value = convert_union_to_numpy(value, np.float32)
+        if value is None:
+            value = np.ones(index.shape[1], np.float32)
+        num_rows, num_cols = int(shape[0]), int(shape[1])
+        # drop out-of-range (padded) edges before packing
+        ok = ((index[0] >= 0) & (index[0] < num_rows)
+              & (index[1] >= 0) & (index[1] < num_cols))
+        rows, cols, vals = index[0][ok], index[1][ok], value[ok]
+        if k is None:
+            k = _choose_k(len(rows), num_rows)
+        sc, sv, tr, tc, tv = build_ell_arrays(rows, cols, vals, num_rows,
+                                              num_cols, k)
+        tsc, tsv, ttr, ttc, ttv = build_ell_arrays(cols, rows, vals, num_cols,
+                                                   num_rows, k)
+        return cls(slots_col=jnp.asarray(sc), slots_val=jnp.asarray(sv),
+                   tail_row=jnp.asarray(tr), tail_col=jnp.asarray(tc),
+                   tail_val=jnp.asarray(tv),
+                   t_slots_col=jnp.asarray(tsc), t_slots_val=jnp.asarray(tsv),
+                   t_tail_row=jnp.asarray(ttr), t_tail_col=jnp.asarray(ttc),
+                   t_tail_val=jnp.asarray(ttv), shape=(num_rows, num_cols))
+
+    # -- SparseMatrix-compatible surface -------------------------------------
+    def matmul(self, h, num_or_size_splits=None):
+        if num_or_size_splits is None:
+            return ell_spmm(self, h)
+        if isinstance(num_or_size_splits, int):
+            chunks = jnp.array_split(h, num_or_size_splits, axis=-1)
+        else:
+            sections = np.cumsum(num_or_size_splits)[:-1]
+            chunks = jnp.split(h, sections, axis=-1)
+        return jnp.concatenate([ell_spmm(self, c) for c in chunks], axis=-1)
+
+    def __matmul__(self, h):
+        return ell_spmm(self, h)
+
+    def dropout(self, rate: float, key=None, training: bool = True) -> "EllAdj":
+        """Edge dropout is NOT supported on the packed layout: the forward and
+        transpose value arrays would need a consistent per-edge mask, which
+        requires the slot↔transpose-slot permutation. Callers (see
+        ``nn/conv/gcn.py``) fall back to the COO path when training with
+        ``edge_drop_rate > 0``; inference passes through unchanged."""
+        if not training or rate <= 0.0 or key is None:
+            return self
+        raise NotImplementedError(
+            "edge dropout on EllAdj — use the COO SparseMatrix path")
+
+    def __repr__(self):
+        return (f"EllAdj(shape={self._shape}, K={self.slots_col.shape[1]}, "
+                f"tail={self.tail_row.shape[0]})")
