@@ -43,7 +43,8 @@ def test_gcn_cache_hits(rng):
     cache = {}
     w = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
     out1 = tnn.gcn(jnp.asarray(x), adj, w, cache=cache)
-    assert len(cache) == 1
+    # one normalization entry + its ELL-compiled twin
+    assert len([k for k in cache if not k.endswith(":ell")]) == 1
     out2 = tnn.gcn(jnp.asarray(x), adj, w, cache=cache)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)
 
