@@ -1,0 +1,33 @@
+"""SGC node classification (reference: demo/demo_sgc.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from demo_utils import load_cora, train_node_classifier
+from tf_geometric_tpu.layers import SGC
+from tf_geometric_tpu.nn.conv.gcn import gcn_build_cache_for_graph
+
+
+def main():
+    graph, splits = load_cora()
+    num_classes = int(np.max(np.asarray(jax.device_get(graph.y)))) + 1
+    gcn_build_cache_for_graph(graph)
+    cache = graph.cache
+    edge_index = jnp.asarray(graph.edge_index)
+    edge_weight = jnp.asarray(graph.edge_weight)
+
+    model = SGC(units=num_classes, k=2)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, [graph.x, edge_index, edge_weight],
+                        cache=cache)["params"]
+
+    def forward(p, training, dropout_key):
+        return model.apply({"params": p}, [graph.x, edge_index, edge_weight],
+                           cache=cache, training=training)
+
+    return train_node_classifier(forward, params, jnp.asarray(graph.y), splits,
+                                 learning_rate=0.2, l2_coef=5e-5)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,233 @@
+"""Shared scaffolding for the demo scripts: Cora loading (real files or
+synthetic fallback), the masked-CE + L2 objective, and a generic Adam
+training loop mirroring the reference demos' structure (demo_gcn.py:50-97).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tf_geometric_tpu.layers.base import l2_loss
+
+
+def load_cora():
+    from tf_geometric_tpu.datasets.planetoid import CoraDataset
+    from tf_geometric_tpu.datasets.synthetic_citation import FakePlanetoidDataset
+    try:
+        data = CoraDataset().load_data()
+    except Exception:
+        print("real Cora unavailable — using synthetic Cora-shaped graph")
+        data = FakePlanetoidDataset("cora").load_data()
+    graph, splits = data
+    graph.convert_data_to_tensor()
+    return graph, tuple(jnp.asarray(np.asarray(s, np.int32)) for s in splits)
+
+
+def masked_softmax_loss(params, logits, y, mask_index, l2_coef=5e-4):
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits[mask_index], y[mask_index]).mean()
+    return ce + l2_loss(params, l2_coef)
+
+
+def train_node_classifier(forward, params, y, splits, num_steps=200,
+                          learning_rate=1e-2, l2_coef=5e-4, log_every=20,
+                          patience=None):
+    """Generic loop: ``forward(params, training, key) -> logits``.
+
+    With ``patience`` set, performs val-accuracy early stopping and returns
+    the test accuracy at the best validation step (the reference benchmark
+    protocol, bench_node_cls_early_stop_gcn.py:121-156).
+    """
+    train_index, valid_index, test_index = splits
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def train_step(params, opt_state, step_key):
+        def loss_fn(p):
+            logits = forward(p, True, step_key)
+            return masked_softmax_loss(p, logits, y, train_index, l2_coef)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def accuracy(params):
+        logits = forward(params, False, None)
+        preds = jnp.argmax(logits, axis=-1)
+        return tuple(jnp.mean((preds[idx] == y[idx]).astype(jnp.float32))
+                     for idx in (train_index, valid_index, test_index))
+
+    best_valid, best_test, bad_steps = -1.0, 0.0, 0
+    for step in range(num_steps):
+        key, subkey = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, subkey)
+        if patience is not None or step % log_every == 0:
+            train_acc, valid_acc, test_acc = (float(a) for a in accuracy(params))
+            if step % log_every == 0:
+                print(f"step {step}: loss={float(loss):.4f} "
+                      f"train={train_acc:.4f} valid={valid_acc:.4f} "
+                      f"test={test_acc:.4f}")
+            if patience is not None:
+                if valid_acc > best_valid:
+                    best_valid, best_test, bad_steps = valid_acc, test_acc, 0
+                else:
+                    bad_steps += 1
+                    if bad_steps >= patience:
+                        print(f"early stop at step {step}")
+                        break
+    if patience is not None:
+        print(f"best valid={best_valid:.4f} test@best={best_test:.4f}")
+        return best_test
+    return float(accuracy(params)[2])
+
+
+# ---------------------------------------------------------------------------
+# Graph-classification scaffolding (TU datasets with synthetic fallback)
+# ---------------------------------------------------------------------------
+
+def load_graph_classification_data(name="NCI1", num_fallback_graphs=600, seed=0):
+    """TU graphs as (graphs: List[Graph], num_classes). Falls back to a
+    synthetic set of degree-distinguishable random graphs offline."""
+    from tf_geometric_tpu.data.graph import Graph
+    try:
+        from tf_geometric_tpu.datasets import TUDataset
+        graph_dicts = TUDataset(name).load_data()
+        num_node_labels = int(max(np.max(g["node_labels"]) for g in graph_dicts)) + 1
+        graphs = []
+        for gd in graph_dicts:
+            x = np.zeros([gd["num_nodes"], num_node_labels], np.float32)
+            x[range(gd["num_nodes"]), gd["node_labels"]] = 1.0
+            graphs.append(Graph(x=x, edge_index=gd["edge_index"],
+                                y=gd["graph_label"]))
+        num_classes = int(max(int(g.y[0]) for g in graphs)) + 1
+        return graphs, num_classes
+    except Exception:
+        print(f"TU dataset {name} unavailable — using synthetic graphs")
+        rng = np.random.default_rng(seed)
+        graphs = []
+        for _ in range(num_fallback_graphs):
+            label = int(rng.integers(0, 2))
+            n = int(rng.integers(10, 20))
+            # class 0: sparse ring-ish; class 1: dense random
+            num_edges = n * (2 if label == 0 else 5)
+            ei = rng.integers(0, n, size=(2, num_edges)).astype(np.int32)
+            x = np.eye(4, dtype=np.float32)[rng.integers(0, 4, n)]
+            graphs.append(Graph(x=x, edge_index=ei, y=[label]))
+        return graphs, 2
+
+
+def padded_batch_generator(graphs, batch_size, shuffle=True, infinite=True,
+                           seed=0, node_multiple=128, edge_multiple=128):
+    """Yield BatchGraphs padded to fixed capacities so jit compiles once."""
+    from tf_geometric_tpu.data.graph import BatchGraph
+    from tf_geometric_tpu.data.padding import PaddingSpec, bucket_size, pad_batch_graph
+    rng = np.random.default_rng(seed)
+    max_nodes = max(g.num_nodes for g in graphs)
+    max_edges = max(g.num_edges for g in graphs)
+    spec = PaddingSpec(bucket_size(max_nodes * batch_size, node_multiple),
+                       bucket_size(max_edges * batch_size, edge_multiple),
+                       batch_size)
+    while True:
+        order = rng.permutation(len(graphs)) if shuffle else np.arange(len(graphs))
+        for start in range(0, len(order), batch_size):
+            chunk = [graphs[i] for i in order[start:start + batch_size]]
+            if len(chunk) < batch_size and infinite:
+                continue
+            batch = BatchGraph.from_graphs(chunk)
+            yield pad_batch_graph(batch, spec), len(chunk)
+        if not infinite:
+            break
+
+
+def run_graph_classification(make_model, batch_size=32, num_steps=300,
+                             learning_rate=5e-3, dataset="NCI1", seed=0,
+                             extra_loss_from_state=None):
+    """Generic padded-batch graph-classification loop.
+
+    ``make_model(num_classes, num_graphs) -> flax module`` whose __call__ is
+    ``(x, edge_index, edge_weight, node_graph_index, training=...) -> logits``.
+    ``extra_loss_from_state(state) -> scalar`` pulls auxiliary losses sown
+    into the "losses" collection (MinCutPool).
+    """
+    from sklearn.model_selection import train_test_split
+    graphs, num_classes = load_graph_classification_data(dataset, seed=seed)
+    train_graphs, test_graphs = train_test_split(graphs, test_size=0.1,
+                                                 random_state=0)
+    model = make_model(num_classes, batch_size)
+    gen = padded_batch_generator(train_graphs, batch_size, seed=seed)
+    batch, _ = next(gen)
+    key = jax.random.PRNGKey(seed)
+
+    def to_args(batch):
+        return (jnp.asarray(batch.x), jnp.asarray(batch.edge_index),
+                jnp.asarray(batch.edge_weight),
+                jnp.asarray(batch.node_graph_index))
+
+    mutable = ["losses"] if extra_loss_from_state else False
+    variables = model.init({"params": key, "dropout": key}, *to_args(batch))
+    params = variables["params"]
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, args, y, valid_mask, step_key):
+        def loss_fn(p):
+            if mutable:
+                logits, state = model.apply({"params": p}, *args, training=True,
+                                            rngs={"dropout": step_key},
+                                            mutable=mutable)
+            else:
+                logits = model.apply({"params": p}, *args, training=True,
+                                     rngs={"dropout": step_key})
+                state = None
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, jnp.clip(y, 0, None))
+            loss = jnp.sum(ce * valid_mask) / jnp.maximum(valid_mask.sum(), 1.0)
+            if state is not None:
+                loss = loss + extra_loss_from_state(state)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def predict(params, args):
+        out = model.apply({"params": params}, *args,
+                          mutable=mutable) if mutable else \
+            model.apply({"params": params}, *args)
+        logits = out[0] if mutable else out
+        return jnp.argmax(logits, axis=-1)
+
+    def batch_labels(batch, real):
+        y = np.zeros(batch_size, np.int32)
+        y[:real] = np.asarray(batch.y).flatten()[:real]
+        mask = np.zeros(batch_size, np.float32)
+        mask[:real] = 1.0
+        return jnp.asarray(y), jnp.asarray(mask)
+
+    for step in range(num_steps):
+        batch, real = next(gen)
+        y, mask = batch_labels(batch, real)
+        key, subkey = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, to_args(batch),
+                                             y, mask, subkey)
+        if step % 50 == 0:
+            print(f"step {step}: loss={float(loss):.4f}")
+
+    correct = total = 0
+    for batch, real in padded_batch_generator(test_graphs, batch_size,
+                                              shuffle=False, infinite=False):
+        preds = np.asarray(predict(params, to_args(batch)))[:real]
+        labels = np.asarray(batch.y).flatten()[:real]
+        correct += (preds == labels).sum()
+        total += real
+    acc = correct / max(total, 1)
+    print(f"test accuracy: {acc:.4f}")
+    return acc

@@ -86,10 +86,14 @@ def segment_softmax(data, segment_ids, num_segments: int, eps: float = 1e-8):
     """
     seg_max = jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
-    # Gather per-element max; clip ids so padded (out-of-range) rows gather row 0
-    # harmlessly — their exp value never lands anywhere.
     safe_ids = jnp.clip(segment_ids, 0, num_segments - 1)
-    shifted = data - jnp.take(seg_max, safe_ids, axis=0)
+    # Out-of-range (padded) entries would exponentiate against a *clipped*
+    # segment's max — overflowing when their raw score exceeds it and
+    # poisoning gradients with inf·0 NaNs. Hard-zero them instead.
+    in_range = (segment_ids >= 0) & (segment_ids < num_segments)
+    in_range = in_range.reshape(in_range.shape + (1,) * (data.ndim - 1))
+    shifted = jnp.where(in_range, data - jnp.take(seg_max, safe_ids, axis=0),
+                        -jnp.inf)
     exped = jnp.exp(shifted)
     seg_sum = jax.ops.segment_sum(exped, segment_ids, num_segments=num_segments)
     denom = jnp.take(seg_sum, safe_ids, axis=0) + eps

@@ -159,6 +159,7 @@ class ASAP(nn.Module):
     drop_rate: float = 0.0
     le_conv_activation: Callable = jax.nn.sigmoid
     use_bias: bool = True
+    num_graphs: Optional[int] = None
 
     @nn.compact
     def __call__(self, inputs, cache=None, training: bool = False):
@@ -192,7 +193,7 @@ class ASAP(nn.Module):
             k=self.k, ratio=self.ratio,
             le_conv_activation=self.le_conv_activation,
             drop_rate=self.drop_rate, training=training, cache=cache,
-            dropout_key=dropout_key)
+            dropout_key=dropout_key, num_graphs=self.num_graphs)
 
 
 class Set2Set(nn.Module):

@@ -36,12 +36,23 @@ def asap(x, edge_index, edge_weight, node_graph_index,
          le_conv_aggr_neighbor_kernel, le_conv_aggr_neighbor_bias,
          k: Optional[int] = None, ratio: Optional[float] = None,
          le_conv_activation=jax.nn.sigmoid,
-         drop_rate: float = 0.0, training=None, cache=None, dropout_key=None):
+         drop_rate: float = 0.0, training=None, cache=None, dropout_key=None,
+         num_graphs: Optional[int] = None):
     num_nodes = x.shape[0]
 
-    edge_index, edge_weight = remove_self_loop_edge(
-        convert_union_to_numpy(edge_index),
-        None if edge_weight is None else convert_union_to_numpy(edge_weight))
+    fixed_mode = k is not None and num_graphs is not None
+    if fixed_mode:
+        # jit/grad-safe: self-loops are masked (static shapes), not filtered
+        from ...utils.graph_utils import mask_self_loop_edge
+        edge_index, edge_weight = mask_self_loop_edge(
+            jnp.asarray(edge_index), num_nodes,
+            None if edge_weight is None else jnp.asarray(edge_weight))
+        if edge_weight is None:
+            edge_weight = jnp.where(edge_index[0] < num_nodes, 1.0, 0.0)
+    else:
+        edge_index, edge_weight = remove_self_loop_edge(
+            convert_union_to_numpy(edge_index),
+            None if edge_weight is None else convert_union_to_numpy(edge_weight))
     edge_index_sl, edge_weight_sl = add_self_loop_edge(
         edge_index, num_nodes=num_nodes, edge_weight=edge_weight)
     edge_index_sl = jnp.asarray(edge_index_sl)
@@ -56,8 +67,10 @@ def asap(x, edge_index, edge_weight, node_graph_index,
         mapper=identity_mapper, reducer=max_reducer, num_nodes=num_nodes)
     attention_query = attention_query @ attention_query_kernel + attention_query_bias
 
-    rep_query = jnp.take(attention_query, row_sl, axis=0)
-    rep_member = jnp.take(attention_h, col_sl, axis=0)
+    # NOTE: jnp.take fills NaN for out-of-bounds ids under jit — always clip
+    # (masked/padded edges carry row == num_nodes)
+    rep_query = jnp.take(attention_query, jnp.clip(row_sl, 0, num_nodes - 1), axis=0)
+    rep_member = jnp.take(attention_h, jnp.clip(col_sl, 0, num_nodes - 1), axis=0)
     score_h = jnp.concatenate([rep_query, rep_member], axis=-1)
     att_score = score_h @ attention_score_kernel + attention_score_bias
     att_score = jax.nn.leaky_relu(att_score, negative_slope=0.2)
@@ -78,6 +91,48 @@ def asap(x, edge_index, edge_weight, node_graph_index,
                          le_conv_aggr_self_kernel, le_conv_aggr_self_bias,
                          le_conv_aggr_neighbor_kernel, le_conv_aggr_neighbor_bias,
                          activation=None)
+
+    if fixed_mode:
+        # jit/grad-safe fixed-k path: padded G·k cluster capacity, invalid
+        # slots dropped by out-of-range ids downstream
+        from .topk_pool import topk_pool_fixed
+        topk_idx, topk_valid = topk_pool_fixed(node_graph_index, node_score,
+                                               num_graphs, k)
+        num_clusters = int(topk_idx.shape[0])
+        safe_idx = jnp.clip(topk_idx, 0, num_nodes - 1)
+        topk_node_score = jnp.take(node_score, safe_idx, axis=0)
+        if le_conv_activation is not None:
+            topk_node_score = le_conv_activation(topk_node_score)
+        pooled_x = jnp.where(topk_valid[:, None],
+                             jnp.take(cluster_h, safe_idx, axis=0) * topk_node_score,
+                             0.0)
+        reverse = jnp.full((num_nodes + 1,), -1, jnp.int32)
+        # invalid slots scatter out of bounds (dropped); reverse[num_nodes]
+        # stays -1 so masked/padded edges never map to a cluster
+        scatter_at = jnp.where(topk_valid, safe_idx, num_nodes + 1)
+        reverse = reverse.at[scatter_at].set(
+            jnp.arange(num_clusters, dtype=jnp.int32), mode="drop")
+        assign_cluster = reverse[jnp.clip(row_sl, 0, num_nodes)]
+        keep_edge = assign_cluster >= 0
+        assign_edge_index = jnp.stack([
+            jnp.where(keep_edge, col_sl, num_nodes),        # node side
+            jnp.clip(assign_cluster, 0, num_clusters - 1),  # cluster side
+        ], axis=0)
+        assign_edge_weight = jax.lax.stop_gradient(
+            jnp.where(keep_edge, normed_att_score.reshape(-1), 0.0))
+        _, pooled_edge_index, pooled_edge_weight = cluster_pool(
+            None, edge_index_sl, jnp.asarray(edge_weight_sl),
+            assign_edge_index, assign_edge_weight,
+            num_clusters, num_nodes=num_nodes, dense_output_edges=True)
+        loops = pooled_edge_index[0] == pooled_edge_index[1]
+        pooled_edge_weight = jnp.where(loops, 0.0, pooled_edge_weight)
+        pooled_edge_index, pooled_edge_weight = add_self_loop_edge(
+            pooled_edge_index, num_clusters, pooled_edge_weight)
+        ngi = jnp.asarray(node_graph_index, jnp.int32)
+        pooled_node_graph_index = jnp.where(
+            topk_valid, jnp.take(ngi, safe_idx),
+            num_graphs if num_graphs is not None else 0)
+        return pooled_x, pooled_edge_index, pooled_edge_weight, pooled_node_graph_index
 
     topk_node_index = topk_pool(node_graph_index, node_score, k=k, ratio=ratio)
     topk_node_score = jnp.take(node_score, jnp.asarray(topk_node_index), axis=0)
@@ -109,7 +164,6 @@ def asap(x, edge_index, edge_weight, node_graph_index,
         num_clusters, num_nodes=num_nodes)
 
     pooled_edge_index = convert_union_to_numpy(pooled_edge_index)
-    pooled_edge_weight_np = convert_union_to_numpy(pooled_edge_weight)
     keep = pooled_edge_index[0] != pooled_edge_index[1]
     kept_pos = np.nonzero(keep)[0]
     pooled_edge_index = pooled_edge_index[:, keep]

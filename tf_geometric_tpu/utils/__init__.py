@@ -1,0 +1,5 @@
+from . import graph_utils
+from . import union_utils
+from . import data_utils
+from . import tf_sparse_utils
+from . import jax_utils
