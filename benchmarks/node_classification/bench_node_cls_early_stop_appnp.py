@@ -1,0 +1,63 @@
+"""Early-stopping APPNP node-classification benchmark
+(reference: benchmarks/node_classification/bench_node_cls_early_stop_appnp.py).
+
+Protocol (reference :18-24,121-156): 16 hidden, dropout 0.5, lr 1e-2,
+L2 5e-4, patience 100 on validation accuracy, ≤400 steps; the test accuracy
+at the best validation step is appended to results.txt.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..", "demo"))
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+from demo_utils import load_cora, train_node_classifier
+from tf_geometric_tpu.layers import APPNP
+
+DATASET = os.environ.get("BENCH_DATASET", "cora")
+PATIENCE = 100
+MAX_STEPS = 400
+
+
+class APPNPModel(nn.Module):
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x, edge_index, edge_weight, training=False):
+        return APPNP(units_list=[64, self.num_classes], k=10, alpha=0.1,
+                     dense_drop_rate=0.5, edge_drop_rate=0.5)(
+            [x, edge_index, edge_weight], training=training)
+
+
+def run(seed=0):
+    graph, splits = load_cora()
+    num_classes = int(np.max(np.asarray(jax.device_get(graph.y)))) + 1
+    model = APPNPModel(num_classes=num_classes)
+    ei = jnp.asarray(graph.edge_index)
+    ew = jnp.asarray(graph.edge_weight)
+    key = jax.random.PRNGKey(seed)
+    params = model.init({"params": key, "dropout": key},
+                        graph.x, ei, ew)["params"]
+
+    def forward(p, training, dropout_key):
+        rngs = {"dropout": dropout_key} if training else {}
+        return model.apply({"params": p}, graph.x, ei, ew, training=training,
+                           rngs=rngs)
+
+    return train_node_classifier(forward, params, jnp.asarray(graph.y), splits,
+                                 num_steps=MAX_STEPS, patience=PATIENCE,
+                                 learning_rate=1e-2, l2_coef=5e-4)
+
+
+if __name__ == "__main__":
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    test_acc = run(seed)
+    results_path = os.path.join(os.path.dirname(__file__), "results.txt")
+    with open(results_path, "a", encoding="utf-8") as f:
+        f.write(f"{test_acc}\n")
+    print(f"seed {seed}: test accuracy {test_acc:.4f}")

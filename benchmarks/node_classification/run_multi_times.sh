@@ -1,0 +1,9 @@
+#!/bin/bash
+# Run an early-stop benchmark over many seeds (reference: run_multi_times.sh:1-11).
+# Usage: ./run_multi_times.sh bench_node_cls_early_stop_gcn.py [num_runs]
+SCRIPT=${1:-bench_node_cls_early_stop_gcn.py}
+RUNS=${2:-20}
+for seed in $(seq 0 $((RUNS - 1))); do
+    python "$(dirname "$0")/$SCRIPT" "$seed"
+done
+python "$(dirname "$0")/bench_report_results.py"
