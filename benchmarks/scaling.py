@@ -1,0 +1,108 @@
+"""Graph-parallel scaling-efficiency harness (BASELINE.md: ≥70% edges/s
+scaling efficiency on a 2-host slice; report 1 chip → 1 host → N hosts).
+
+Measures full-training-step edges/s of the edge-partitioned GCN at several
+device counts. On real multi-chip hardware run as-is; without it, simulate
+with virtual CPU devices:
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python benchmarks/scaling.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def measure(num_devices, graph, use_rcm=True, steps=10):
+    import jax
+    import jax.numpy as jnp
+    from tf_geometric_tpu.nn.conv.gcn import gcn_norm_adj
+    from tf_geometric_tpu.parallel.halo import build_halo_spec
+    from tf_geometric_tpu.parallel.partition import (apply_node_permutation,
+                                                     community_order,
+                                                     partition_edges_by_row)
+    from tf_geometric_tpu.parallel.sharded import (build_mesh,
+                                                   make_graph_parallel_gcn_step)
+    from tf_geometric_tpu.sparse import SparseMatrix
+
+    if use_rcm and num_devices > 1:
+        # community-aware ordering (LPA) keeps most edges device-local
+        perm = community_order(graph.edge_index, graph.num_nodes)
+        graph, _ = apply_node_permutation(graph, perm)
+
+    num_nodes = graph.num_nodes
+    normed = gcn_norm_adj(SparseMatrix(graph.edge_index, graph.edge_weight,
+                                       (num_nodes, num_nodes)))
+    part = partition_edges_by_row(jax.device_get(normed.index),
+                                  jax.device_get(normed.value),
+                                  num_nodes, num_devices)
+    spec = build_halo_spec(part)
+    mesh = build_mesh({"graph": num_devices})
+    num_classes = 40
+    step, optimizer = make_graph_parallel_gcn_step(
+        mesh, hidden=64, num_classes=num_classes, halo_spec=spec)
+
+    n_pad = part.num_nodes_padded
+    x_np = np.asarray(graph.x)
+    x_p = np.zeros((n_pad, x_np.shape[1]), np.float32)
+    x_p[:num_nodes] = x_np
+    y_p = np.zeros(n_pad, np.int32)
+    y_p[:num_nodes] = np.asarray(graph.y)
+    mask = np.zeros(n_pad, np.float32)
+    mask[:num_nodes] = 1.0
+
+    rng = np.random.default_rng(0)
+    params = [
+        (jnp.asarray(rng.normal(scale=0.1, size=(x_np.shape[1], 64)), jnp.float32),
+         jnp.zeros(64)),
+        (jnp.asarray(rng.normal(scale=0.1, size=(64, num_classes)), jnp.float32),
+         jnp.zeros(num_classes)),
+    ]
+    opt_state = optimizer.init(params)
+    args = (jnp.asarray(x_p), jnp.asarray(spec.local_row.reshape(-1)),
+            jnp.asarray(spec.col_addr.reshape(-1)),
+            jnp.asarray(spec.value.reshape(-1)),
+            jnp.asarray(y_p), jnp.asarray(mask))
+
+    with mesh:
+        params, opt_state, loss = step(params, opt_state, *args)
+        _ = np.asarray(loss)  # compile + drain
+        t = time.time()
+        for _ in range(steps):
+            params, opt_state, loss = step(params, opt_state, *args)
+        _ = np.asarray(loss)
+        elapsed = (time.time() - t) / steps
+    num_edges = int((part.local_row < part.nodes_per_part).sum())
+    return num_edges / elapsed, spec.halo_fraction
+
+
+def main():
+    import jax
+    from tf_geometric_tpu.datasets.synthetic_citation import synthetic_citation_graph
+
+    graph = synthetic_citation_graph(num_nodes=20_000, num_features=64,
+                                     num_classes=40, avg_degree=8, seed=0)
+    max_devices = len(jax.devices())
+    counts = [c for c in (1, 2, 4, 8, 16) if c <= max_devices]
+    results = {}
+    base = None
+    for c in counts:
+        eps, halo_frac = measure(c, graph)
+        if base is None:
+            base = eps
+        eff = eps / (base * c)
+        results[c] = dict(edges_per_sec=round(eps, 1),
+                          scaling_efficiency=round(eff, 4),
+                          halo_fraction=round(halo_frac, 4))
+        print(f"{c} devices: {eps/1e6:8.2f} M edges/s  "
+              f"eff={eff:.2%}  halo={halo_frac:.2%}", flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -90,3 +90,53 @@ def test_bandwidth_reduction_order_is_permutation():
     _, index, _, _ = _setup()
     perm = bandwidth_reduction_order(index, 96)
     assert sorted(perm.tolist()) == list(range(96))
+
+
+def test_halo_exchange_matches_all_gather():
+    from tf_geometric_tpu.parallel.halo import build_halo_spec
+
+    num_classes, hidden = 5, 8
+    x, index, value, y = _setup(num_nodes=96, num_edges=400)
+    num_nodes, f = x.shape
+
+    part = partition_edges_by_row(index, value, num_nodes, 4, pad_multiple=16)
+    spec = build_halo_spec(part, capacity_multiple=16)
+    assert spec.halo_fraction > 0  # tiny random graphs may exceed 1.0
+
+    n_pad = part.num_nodes_padded
+    x_p = np.zeros((n_pad, f), np.float32); x_p[:num_nodes] = x
+    y_p = np.zeros(n_pad, np.int32); y_p[:num_nodes] = y
+    mask = np.zeros(n_pad, np.float32); mask[:num_nodes] = 1.0
+
+    mesh = build_mesh({"graph": 4})
+    rng = np.random.default_rng(0)
+    params = [
+        (jnp.asarray(rng.normal(scale=0.1, size=(f, hidden)), jnp.float32),
+         jnp.zeros(hidden)),
+        (jnp.asarray(rng.normal(scale=0.1, size=(hidden, num_classes)), jnp.float32),
+         jnp.zeros(num_classes)),
+    ]
+
+    def run(step_fn, optimizer, cols):
+        opt_state = optimizer.init(params)
+        with mesh:
+            new_params, _, loss = step_fn(
+                params, opt_state, jnp.asarray(x_p),
+                jnp.asarray(part.local_row.reshape(-1)),
+                jnp.asarray(cols.reshape(-1)),
+                jnp.asarray(part.value.reshape(-1)),
+                jnp.asarray(y_p), jnp.asarray(mask))
+        return new_params, float(loss)
+
+    step_ag, opt_ag = make_graph_parallel_gcn_step(
+        mesh, hidden=hidden, num_classes=num_classes)
+    p_ag, loss_ag = run(step_ag, opt_ag, part.global_col)
+
+    step_halo, opt_halo = make_graph_parallel_gcn_step(
+        mesh, hidden=hidden, num_classes=num_classes, halo_spec=spec)
+    p_halo, loss_halo = run(step_halo, opt_halo, spec.col_addr)
+
+    np.testing.assert_allclose(loss_halo, loss_ag, rtol=1e-5, atol=1e-6)
+    for (w_h, b_h), (w_a, b_a) in zip(p_halo, p_ag):
+        np.testing.assert_allclose(np.asarray(w_h), np.asarray(w_a),
+                                   rtol=1e-4, atol=1e-5)

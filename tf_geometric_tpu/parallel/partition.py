@@ -23,7 +23,7 @@ import numpy as np
 from ..utils.union_utils import convert_union_to_numpy
 
 __all__ = ["EdgePartition", "partition_edges_by_row", "bandwidth_reduction_order",
-           "apply_node_permutation"]
+           "community_order", "apply_node_permutation"]
 
 
 class EdgePartition(NamedTuple):
@@ -86,6 +86,51 @@ def bandwidth_reduction_order(edge_index, num_nodes: int) -> np.ndarray:
                         shape=(num_nodes, num_nodes))
     adj = adj + adj.T
     order = reverse_cuthill_mckee(adj, symmetric_mode=True)  # new_id -> old_id
+    perm = np.empty(num_nodes, np.int64)
+    perm[order] = np.arange(num_nodes)
+    return perm
+
+
+def community_order(edge_index, num_nodes: int, num_iters: int = 8,
+                    seed: int = 0) -> np.ndarray:
+    """Label-propagation community detection → permutation grouping
+    communities contiguously (``perm[old] = new``).
+
+    The lightweight METIS substitute for halo reduction: on community-
+    structured graphs (citation networks, SBMs) contiguous row blocks of the
+    permuted graph then keep most edges device-local. Majority-vote LPA,
+    fully vectorized.
+    """
+    edge_index = convert_union_to_numpy(edge_index, np.int64)
+    row, col = edge_index[0], edge_index[1]
+    labels = np.arange(num_nodes, dtype=np.int64)
+    rng = np.random.default_rng(seed)
+    for _ in range(num_iters):
+        neigh_label = labels[col]
+        # majority label per node: count (row, label) pairs
+        pair = row * num_nodes + neigh_label
+        uniq, counts = np.unique(pair, return_counts=True)
+        u_row = uniq // num_nodes
+        u_lab = uniq % num_nodes
+        # tie-break randomly but deterministically
+        jitter = rng.random(len(uniq)) * 0.5
+        order = np.lexsort((-(counts + jitter), u_row))
+        first = np.ones(len(order), bool)
+        sorted_rows = u_row[order]
+        first[1:] = sorted_rows[1:] != sorted_rows[:-1]
+        best_rows = sorted_rows[first]
+        best_labels = u_lab[order][first]
+        new_labels = labels.copy()
+        new_labels[best_rows] = best_labels
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+    # communities contiguous, large communities first for balanced blocks
+    comm_ids, comm_inverse, comm_sizes = np.unique(labels, return_inverse=True,
+                                                   return_counts=True)
+    comm_rank = np.argsort(np.argsort(-comm_sizes))
+    sort_key = comm_rank[comm_inverse]
+    order = np.lexsort((np.arange(num_nodes), sort_key))  # old ids in new order
     perm = np.empty(num_nodes, np.int64)
     perm[order] = np.arange(num_nodes)
     return perm

@@ -49,7 +49,8 @@ def sharded_spmm_local(h_global, local_row, global_col, value, nodes_per_part: i
 
 def make_graph_parallel_gcn_step(mesh: Mesh, graph_axis: str = "graph",
                                  num_layers: int = 2, hidden: int = 16,
-                                 num_classes: int = 7, learning_rate: float = 1e-2):
+                                 num_classes: int = 7, learning_rate: float = 1e-2,
+                                 halo_spec=None):
     """Build a jitted, shard_map'd full training step for an edge-partitioned
     multi-layer GCN.
 
@@ -64,11 +65,22 @@ def make_graph_parallel_gcn_step(mesh: Mesh, graph_axis: str = "graph",
     all_axes = tuple(mesh.axis_names)
 
     def forward(params, x_local, rows, cols, vals, nodes_per_part):
+        """cols semantics: global node ids (all_gather mode) or virtual
+        device-local halo addresses (halo mode, see parallel/halo.py)."""
+        from .halo import halo_exchange, halo_spmm_local
         h_local = x_local
         for li, (w, b) in enumerate(params):
             hw_local = h_local @ w
-            h_global = jax.lax.all_gather(hw_local, graph_axis, tiled=True)
-            h_local = sharded_spmm_local(h_global, rows, cols, vals, nodes_per_part) + b
+            if halo_spec is not None:
+                my = jax.lax.axis_index(graph_axis)
+                send_idx_local = jnp.asarray(halo_spec.send_idx)[my]
+                recv = halo_exchange(hw_local, send_idx_local, graph_axis)
+                h_local = halo_spmm_local(hw_local, recv, cols, rows, vals,
+                                          nodes_per_part) + b
+            else:
+                h_global = jax.lax.all_gather(hw_local, graph_axis, tiled=True)
+                h_local = sharded_spmm_local(h_global, rows, cols, vals,
+                                             nodes_per_part) + b
             if li < len(params) - 1:
                 h_local = jax.nn.relu(h_local)
         return h_local
