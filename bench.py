@@ -28,7 +28,8 @@ def main():
 
     from tf_geometric_tpu.datasets.synthetic_citation import synthetic_ogbn_arxiv_like
     from tf_geometric_tpu.nn.conv.gcn import (compute_cache_key, gcn_norm_adj,
-                                              maybe_compile_ell)
+                                              maybe_compile_ell,
+                                              precompute_propagated_features)
     from tf_geometric_tpu.sparse import SparseMatrix
 
     NUM_CLASSES, HIDDEN = 40, 256
@@ -45,6 +46,11 @@ def main():
                             compute_cache_key("both", True, True, True, False))
     x = jnp.asarray(graph.x)
     y = jnp.asarray(graph.y)
+    # layer-1 operand is constant in full-batch training: A(xW) == (Ax)W,
+    # so the widest SpMM runs once at preprocessing (fwd and bwd)
+    px = precompute_propagated_features(
+        x, SparseMatrix(graph.edge_index, graph.edge_weight,
+                        (num_nodes, num_nodes)), cache=cache)
 
     rng = np.random.default_rng(0)
     params = {
@@ -59,7 +65,7 @@ def main():
     opt_state = optimizer.init(params)
 
     def loss_fn(p):
-        h = jax.nn.relu(adj.matmul(x @ p["w0"]) + p["b0"])
+        h = jax.nn.relu(px @ p["w0"] + p["b0"])
         logits = adj.matmul(h @ p["w1"]) + p["b1"]
         return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
 

@@ -272,3 +272,20 @@ def test_common_pools(rng):
         out = np.asarray(fn(jnp.asarray(x), jnp.asarray(ngi), 3))
         expected = np.stack([op(x[ngi == g], axis=0) for g in range(3)])
         np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_precomputed_propagation_matches_gcn(rng):
+    from tf_geometric_tpu.nn.conv.gcn import (gcn, precompute_propagated_features)
+    x, ei, ew = random_graph(rng, 18, 50, 8)
+    adj = SparseMatrix(ei, ew, (18, 18))
+    w = jnp.asarray(rng.normal(size=(8, 5)).astype(np.float32))
+    direct = gcn(jnp.asarray(x), adj, w)
+    cache = {}
+    px = precompute_propagated_features(jnp.asarray(x), adj, cache=cache)
+    assert any(k.endswith(":propagated") for k in cache)
+    via_precompute = px @ w
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(via_precompute),
+                               rtol=1e-3, atol=1e-4)
+    # second call hits the cache
+    px2 = precompute_propagated_features(jnp.asarray(x), adj, cache=cache)
+    np.testing.assert_allclose(np.asarray(px), np.asarray(px2), rtol=1e-6)

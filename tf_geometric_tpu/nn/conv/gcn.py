@@ -151,6 +151,34 @@ def gcn_cache_normed_edge(graph, renorm=True, improved=False, override=False):
                   renorm, improved, graph.cache)
 
 
+def precompute_propagated_features(x, sparse_adj: SparseMatrix, norm="both",
+                                   add_self_loop=True, sym=True, renorm=True,
+                                   improved=False, cache: Optional[dict] = None):
+    """Precompute ``P = Â·x`` for layers whose SpMM operand is constant.
+
+    In transductive full-batch training the first GCN layer computes
+    ``Â·(x W) = (Â·x)·W`` — associativity lets the SpMM run ONCE at
+    preprocessing instead of every step (forward AND backward: the layer
+    becomes a dense matmul against P). On a v5e at ogbn-arxiv scale this
+    removes the single most expensive op of a 2-layer GCN step. Returns P
+    and stores it in ``cache`` under the normalization key + ":propagated".
+    """
+    cache_key = compute_cache_key(norm, add_self_loop, sym, renorm, improved) \
+        + ":propagated"
+    if cache is not None:
+        cached = cache.get(cache_key, None)
+        if cached is not None:
+            return jnp.asarray(cached)
+    normed = gcn_norm_adj(sparse_adj, norm=norm, add_self_loop=add_self_loop,
+                          sym=sym, renorm=renorm, improved=improved, cache=cache)
+    normed = maybe_compile_ell(
+        normed, cache, compute_cache_key(norm, add_self_loop, sym, renorm, improved))
+    propagated = normed.matmul(x if not isinstance(x, SparseMatrix) else x.to_dense())
+    if cache is not None and not isinstance(propagated, jax.core.Tracer):
+        cache[cache_key] = jax.device_get(propagated)
+    return propagated
+
+
 def gcn_mapper(repeated_x, neighbor_x, edge_weight=None):
     """Edge-weight scaling mapper (gcn.py:221-222)."""
     return neighbor_x * jnp.expand_dims(edge_weight, -1)
