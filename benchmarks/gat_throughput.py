@@ -1,0 +1,85 @@
+"""GAT training-step throughput at ogbn-arxiv scale (the second headline
+workload, BASELINE.json config 2). Compares the plain segment path with the
+cached sorted+ELL fast path. Run alone on the TPU."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from tf_geometric_tpu.datasets.synthetic_citation import synthetic_ogbn_arxiv_like
+    from tf_geometric_tpu.nn.conv.gat import gat
+
+    HEADS, UNITS, CLASSES = 8, 256, 40
+    graph = synthetic_ogbn_arxiv_like()
+    N, F = graph.x.shape
+    E = graph.edge_index.shape[1]
+    x = jnp.asarray(graph.x)
+    ei = jnp.asarray(graph.edge_index)
+    y = jnp.asarray(graph.y)
+
+    rng = np.random.default_rng(0)
+    params = {
+        "wq": jnp.asarray(rng.normal(scale=0.05, size=(F, UNITS)), jnp.float32),
+        "bq": jnp.zeros(UNITS),
+        "wk": jnp.asarray(rng.normal(scale=0.05, size=(F, UNITS)), jnp.float32),
+        "bk": jnp.zeros(UNITS),
+        "wv": jnp.asarray(rng.normal(scale=0.05, size=(F, UNITS)), jnp.float32),
+        "wd": jnp.asarray(rng.normal(scale=0.05, size=(UNITS, CLASSES)), jnp.float32),
+        "bd": jnp.zeros(CLASSES),
+    }
+    optimizer = optax.adam(1e-3)
+
+    def measure(cache):
+        def loss_fn(p):
+            h = gat(x, ei, p["wq"], p["bq"], jax.nn.relu,
+                    p["wk"], p["bk"], jax.nn.relu, p["wv"],
+                    num_heads=HEADS, cache=cache)
+            logits = h @ p["wd"] + p["bd"]
+            return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+        @jax.jit
+        def step(p, s):
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = optimizer.update(grads, s, p)
+            return optax.apply_updates(p, updates), s, loss
+
+        p, s = params, optimizer.init(params)
+        p, s, loss = step(p, s)
+        _ = np.asarray(loss)
+
+        def run(iters, p, s):
+            t = time.time()
+            for _ in range(iters):
+                p, s, l = step(p, s)
+            _ = np.asarray(l)
+            return time.time() - t, p, s
+
+        _, p, s = run(2, p, s)
+        t_lo, p, s = run(4, p, s)
+        t_hi, p, s = run(12, p, s)
+        return (t_hi - t_lo) / 8
+
+    cache = {}
+    # prebuild layout eagerly
+    _ = gat(x, ei, params["wq"], params["bq"], jax.nn.relu,
+            params["wk"], params["bk"], jax.nn.relu, params["wv"],
+            num_heads=HEADS, cache=cache)
+    t_fast = measure(cache)
+    print(f"GAT ELL-cached: {t_fast*1000:8.2f} ms/step  "
+          f"{E/t_fast/1e6:7.1f} M edges/s", flush=True)
+    t_plain = measure(None)
+    print(f"GAT plain:      {t_plain*1000:8.2f} ms/step  "
+          f"{E/t_plain/1e6:7.1f} M edges/s", flush=True)
+    print(f"speedup: {t_plain/t_fast:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

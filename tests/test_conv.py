@@ -289,3 +289,32 @@ def test_precomputed_propagation_matches_gcn(rng):
     # second call hits the cache
     px2 = precompute_propagated_features(jnp.asarray(x), adj, cache=cache)
     np.testing.assert_allclose(np.asarray(px), np.asarray(px2), rtol=1e-6)
+
+
+def test_gat_ell_cache_matches_plain(rng):
+    n, f, units = 14, 6, 4
+    x, ei, _ = random_graph(rng, n, 35, f)
+    wq = jnp.asarray(rng.normal(size=(f, units)).astype(np.float32))
+    wk = jnp.asarray(rng.normal(size=(f, units)).astype(np.float32))
+    wv = jnp.asarray(rng.normal(size=(f, units)).astype(np.float32))
+    z = jnp.zeros(units)
+    plain = tnn.gat(jnp.asarray(x), jnp.asarray(ei), wq, z, jax.nn.relu,
+                    wk, z, jax.nn.relu, wv, num_heads=2)
+    cache = {}
+    fast = tnn.gat(jnp.asarray(x), jnp.asarray(ei), wq, z, jax.nn.relu,
+                   wk, z, jax.nn.relu, wv, num_heads=2, cache=cache)
+    assert any(k.startswith("gat_edges_") for k in cache)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(plain),
+                               rtol=1e-3, atol=1e-4)
+    # second call reuses the cache, jit-compatible, grads flow
+    @jax.jit
+    def loss(w):
+        out = tnn.gat(jnp.asarray(x), jnp.asarray(ei), wq, z, jax.nn.relu,
+                      wk, z, jax.nn.relu, w, num_heads=2, cache=cache)
+        return jnp.sum(out ** 2)
+    g = jax.grad(loss)(wv)
+    g_plain = jax.grad(lambda w: jnp.sum(tnn.gat(
+        jnp.asarray(x), jnp.asarray(ei), wq, z, jax.nn.relu,
+        wk, z, jax.nn.relu, w, num_heads=2) ** 2))(wv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_plain),
+                               rtol=1e-3, atol=1e-4)

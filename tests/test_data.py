@@ -1,0 +1,190 @@
+"""Graph containers, padding, samplers, graph utils, metrics."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tf_geometric_tpu.data.graph import (BatchGraph, Graph, HeteroBatchGraph,
+                                         HeteroGraph)
+from tf_geometric_tpu.data.padding import PaddingSpec, bucket_size, pad_batch_graph, pad_graph
+from tf_geometric_tpu.utils import graph_utils as gu
+from tf_geometric_tpu.utils import metrics
+from tests.conftest import random_graph
+
+
+def make_graph(rng, n=10, e=25, f=4):
+    x, ei, ew = random_graph(rng, n, e, f)
+    y = rng.integers(0, 3, n).astype(np.int32)
+    return Graph(x, ei, y, ew)
+
+
+def test_graph_basics(rng):
+    g = make_graph(rng)
+    assert g.num_nodes == 10 and g.num_edges == 25 and g.num_features == 4
+    adj = g.adj()
+    assert adj.shape == (10, 10)
+    g.convert_data_to_tensor()
+    assert isinstance(g.x, jax.Array)
+    g.convert_data_to_numpy()
+    assert isinstance(g.x, np.ndarray)
+
+
+def test_graph_lazy_x(rng):
+    x = rng.normal(size=(6, 3)).astype(np.float32)
+    g = Graph(lambda: x, np.array([[0, 1], [1, 0]]))
+    np.testing.assert_array_equal(np.asarray(g.x), x)
+
+
+def test_graph_to_directed(rng):
+    ei = np.array([[0, 1, 2, 2], [1, 0, 3, 3]])
+    ew = np.array([1.0, 2.0, 3.0, 4.0], np.float32)
+    g = Graph(rng.normal(size=(4, 2)).astype(np.float32), ei, None, ew)
+    g.to_directed(merge_mode="sum")
+    pairs = {(int(r), int(c)): None for r, c in g.edge_index.T}
+    assert (0, 1) in pairs and (1, 0) in pairs
+    assert (2, 3) in pairs and (3, 2) in pairs
+    # duplicate (2,3) merged by sum → weight 7
+    w = dict(zip(map(tuple, g.edge_index.T.tolist()), g.edge_weight.tolist()))
+    assert abs(w[(2, 3)] - 7.0) < 1e-6
+
+
+def test_graph_pytree_roundtrip(rng):
+    g = make_graph(rng).convert_data_to_tensor()
+    leaves, treedef = jax.tree_util.tree_flatten(g)
+    g2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert isinstance(g2, Graph)
+    np.testing.assert_array_equal(np.asarray(g2.edge_index),
+                                  np.asarray(g.edge_index))
+
+
+def test_subgraph_sampling(rng):
+    g = make_graph(rng, n=12, e=40)
+    sub = g.sample_new_graph_by_node_index([0, 3, 5, 7])
+    assert sub.num_nodes == 4
+    assert sub.x.shape == (4, 4)
+    if sub.num_edges:
+        assert int(np.max(sub.edge_index)) < 4
+
+
+def test_batch_graph_roundtrip(rng):
+    graphs = [make_graph(rng, n=5 + i, e=10 + i) for i in range(3)]
+    batch = BatchGraph.from_graphs(graphs)
+    assert batch.num_graphs == 3
+    assert batch.num_nodes == sum(g.num_nodes for g in graphs)
+    assert batch.num_edges == sum(g.num_edges for g in graphs)
+    back = batch.to_graphs()
+    for orig, rec in zip(graphs, back):
+        np.testing.assert_allclose(np.asarray(orig.x), np.asarray(rec.x))
+        np.testing.assert_array_equal(np.asarray(orig.edge_index),
+                                      np.asarray(rec.edge_index))
+
+
+def test_padding(rng):
+    graphs = [make_graph(rng, n=5, e=10), make_graph(rng, n=7, e=12)]
+    batch = BatchGraph.from_graphs(graphs)
+    spec = PaddingSpec(num_nodes=32, num_edges=64, num_graphs=4)
+    padded = pad_batch_graph(batch, spec)
+    assert padded.x.shape == (32, 4)
+    assert padded.edge_index.shape == (2, 64)
+    # padded edges out of range, padded nodes map to sentinel graph id
+    assert (np.asarray(padded.edge_index)[:, batch.num_edges:] == 32).all()
+    assert (np.asarray(padded.node_graph_index)[batch.num_nodes:] == 4).all()
+    assert bucket_size(100) == 128
+    assert bucket_size(129) % 128 == 0 and bucket_size(129) >= 129
+
+
+def test_hetero_graph_and_batch(rng):
+    def hg(seed):
+        r = np.random.default_rng(seed)
+        return HeteroGraph(
+            x_dict={"a": r.normal(size=(4, 3)).astype(np.float32),
+                    "b": r.normal(size=(6, 2)).astype(np.float32)},
+            edge_index_dict={("a", "r", "b"):
+                             r.integers(0, 4, size=(2, 8)).astype(np.int64) %
+                             np.array([[6], [4]])},
+            y_dict={"a": r.integers(0, 2, 4)},
+        )
+    g = hg(0)
+    assert set(g.node_types) == {"a", "b"}
+    g.add_reversed_edges()
+    assert ("b", "r.r", "a") in g.edge_index_dict
+
+    batch = HeteroBatchGraph.from_graphs([hg(0), hg(1)])
+    assert batch.num_graphs == 2
+    assert batch.x_dict["a"].shape == (8, 3)
+    assert batch.x_dict["b"].shape == (12, 2)
+    assert batch.edge_index_dict[("a", "r", "b")].shape[1] == 16
+
+
+def test_random_neighbor_sampler_padding(rng):
+    _, ei, ew = random_graph(rng, 10, 40, 1)
+    sampler = gu.RandomNeighborSampler(ei, ew, rng=0)
+    sei, sew = sampler.sample(k=4, padding=True)
+    counts = np.bincount(sei[0], minlength=10)
+    assert set(counts[counts > 0].tolist()) == {4}
+    # restricted + reindexed
+    sei, sew = sampler.sample(k=3, sampled_node_index=[1, 4, 7])
+    if sei.size:
+        assert sei.max() < 3
+
+
+def test_negative_sampling_excludes_edges(rng):
+    ei = np.array([[0, 1, 2], [1, 2, 0]])
+    neg = gu.negative_sampling(10, 6, edge_index=ei, rng=0)
+    existing = set(map(tuple, ei.T.tolist())) | set(map(tuple, ei[::-1].T.tolist()))
+    for r, c in neg.T:
+        assert (int(r), int(c)) not in existing
+        assert r != c
+
+
+def test_edge_train_test_split(rng):
+    _, ei, _ = random_graph(rng, 15, 60, 1)
+    tr, te, _, _ = gu.edge_train_test_split(ei, test_size=0.3, random_state=0)
+    assert tr.shape[0] == 2 and te.shape[0] == 2
+    assert tr.shape[1] + te.shape[1] > 0
+
+
+def test_laplacian_modes(rng):
+    _, ei, ew = random_graph(rng, 8, 20, 1)
+    for norm_type in (None, "sym", "rw"):
+        li, lw = gu.get_laplacian(jnp.asarray(ei), 8, jnp.asarray(ew), norm_type)
+        assert li.shape[1] == 20 + 8
+        assert np.isfinite(np.asarray(lw)).all()
+
+
+def test_metrics():
+    assert float(metrics.accuracy(np.array([1, 2, 3]), np.array([1, 2, 0]))) \
+        == pytest.approx(2 / 3)
+    assert metrics.micro_f1(np.array([[1, 0], [1, 1]]),
+                            np.array([[1, 0], [0, 1]])) == pytest.approx(0.8)
+    auc = metrics.binary_auc(np.array([0.9, 0.8, 0.3, 0.1]),
+                             np.array([1, 1, 0, 0]))
+    assert auc == pytest.approx(1.0)
+    from sklearn.metrics import roc_auc_score
+    rng = np.random.default_rng(0)
+    scores = rng.random(60)
+    labels = rng.integers(0, 2, 60)
+    assert metrics.binary_auc(scores, labels) == pytest.approx(
+        roc_auc_score(labels, scores), abs=1e-9)
+    acc = metrics.Accumulator()
+    acc.update(1.0, 2)
+    acc.update(0.0, 2)
+    assert acc.result() == pytest.approx(0.5)
+
+
+def test_convert_edge_utils(rng):
+    ei = np.array([[3, 1, 1], [1, 3, 2]])
+    directed, _ = gu.convert_edge_to_directed(ei)
+    pairs = set(map(tuple, directed.T.tolist()))
+    assert (1, 3) in pairs and (3, 1) in pairs and (1, 2) in pairs and (2, 1) in pairs
+    # dedupe kept one (1,3) pair
+    assert directed.shape[1] == 4
+
+    dense = np.array([[0, 2.0], [0, 0]])
+    dei, dew = gu.convert_dense_adj_to_edge(dense)
+    np.testing.assert_array_equal(dei, [[0], [1]])
+    np.testing.assert_allclose(dew, [2.0])
+
+    mask = gu.compute_edge_mask_by_node_index(jnp.asarray(ei), jnp.asarray([1, 2]),
+                                              num_nodes=4)
+    np.testing.assert_array_equal(np.asarray(mask), [False, False, True])

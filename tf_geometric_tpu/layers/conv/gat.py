@@ -57,4 +57,4 @@ class GAT(nn.Module):
                    num_heads=self.num_heads,
                    split_value_heads=self.split_value_heads,
                    edge_drop_rate=self.edge_drop_rate,
-                   training=training, dropout_key=dropout_key)
+                   training=training, dropout_key=dropout_key, cache=cache)

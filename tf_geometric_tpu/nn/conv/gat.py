@@ -25,18 +25,49 @@ from ..kernel.segment import segment_softmax, segment_sum
 __all__ = ["gat"]
 
 
+def _gat_edge_cache(edge_index, num_nodes: int, cache: Optional[dict]):
+    """Cache the self-looped, row-sorted edge list + its ELL layout.
+
+    Sorted rows make the segment softmax use the fast sorted path, and the
+    ELL layout turns the attention-weighted aggregation into scatter-free
+    gathers via dynamic per-edge values (ops/ell.py).
+    """
+    key = f"gat_edges_{num_nodes}"
+    if cache is not None and key in cache:
+        return cache[key]
+    ei_sl, _ = add_self_loop_edge(edge_index, num_nodes)
+    if isinstance(ei_sl, jax.core.Tracer) or cache is None:
+        return (ei_sl, False, None)
+    ei_np = jax.device_get(ei_sl)
+    import numpy as np
+    order = np.argsort(ei_np[0], kind="stable")
+    sorted_ei = ei_np[:, order]
+    from ...ops.ell import EllAdj
+    layout = EllAdj.from_coo(sorted_ei, np.ones(sorted_ei.shape[1], np.float32),
+                             (num_nodes, num_nodes))
+    entry = (jnp.asarray(sorted_ei), True, layout)
+    cache[key] = entry
+    return entry
+
+
 def gat(x, edge_index,
         query_kernel, query_bias, query_activation,
         key_kernel, key_bias, key_activation,
         kernel, bias=None, activation=None, num_heads: int = 1,
         split_value_heads: bool = True, edge_drop_rate: float = 0.0,
-        training: bool = False, dropout_key=None, num_nodes: Optional[int] = None):
-    """Functional GAT forward. ``x`` may be dense or SparseMatrix."""
+        training: bool = False, dropout_key=None, num_nodes: Optional[int] = None,
+        cache: Optional[dict] = None):
+    """Functional GAT forward. ``x`` may be dense or SparseMatrix.
+
+    With a ``cache``, the self-looped edge list is pre-sorted and ELL-packed
+    once; attention aggregation then runs scatter-free (dynamic-value ELL).
+    """
     if num_nodes is None:
         num_nodes = x.shape[0]
 
     # self-attention includes each node itself (gat.py:43)
-    edge_index, _ = add_self_loop_edge(edge_index, num_nodes)
+    edge_index, rows_sorted, ell_layout = _gat_edge_cache(edge_index, num_nodes,
+                                                          cache)
     row, col = edge_index[0], edge_index[1]
     safe_row = jnp.clip(row, 0, num_nodes - 1)
     safe_col = jnp.clip(col, 0, num_nodes - 1)
@@ -73,10 +104,20 @@ def gat(x, edge_index,
         keep = jax.random.bernoulli(dropout_key, 1.0 - edge_drop_rate, att.shape)
         att = jnp.where(keep, att / (1.0 - edge_drop_rate), 0.0)
 
-    # attention-weighted aggregation (gat.py:89): [E, H, d_v] → [N, H, d_v]
-    msg = jnp.take(Vh, safe_col, axis=0) * att[:, :, None]
-    h_heads = segment_sum(msg.reshape(E, num_heads * d_v), row, num_nodes)
-    h_heads = h_heads.reshape(num_nodes, num_heads, d_v)
+    if ell_layout is not None:
+        # scatter-free aggregation: dynamic-value ELL per head
+        from ...ops.ell import ell_spmm
+
+        def per_head(att_h, v_h):
+            return ell_spmm(ell_layout.with_edge_values(att_h), v_h,
+                            diff_values=True)
+
+        h_heads = jax.vmap(per_head, in_axes=(1, 1), out_axes=1)(att, Vh)
+    else:
+        # attention-weighted aggregation (gat.py:89): [E, H, d_v] → [N, H, d_v]
+        msg = jnp.take(Vh, safe_col, axis=0) * att[:, :, None]
+        h_heads = segment_sum(msg.reshape(E, num_heads * d_v), row, num_nodes)
+        h_heads = h_heads.reshape(num_nodes, num_heads, d_v)
 
     if split_value_heads:
         h = h_heads.reshape(num_nodes, num_heads * d_v)  # concat (gat.py:111-112)

@@ -151,6 +151,28 @@ def gcn_cache_normed_edge(graph, renorm=True, improved=False, override=False):
                   renorm, improved, graph.cache)
 
 
+def compile_and_dropout(normed_adj, cache, cache_key: str, edge_drop_rate: float,
+                        dropout_key, training: bool):
+    """Shared ELL-compile + edge-dropout step for the propagation family.
+
+    Training with dropout uses the **dynamic-value ELL** path when available:
+    bernoulli mask on the per-edge values, re-skinned onto the static packed
+    layout via the slot↔edge-id maps (fwd and transpose stay consistent);
+    otherwise falls back to COO value dropout. Inference just compiles."""
+    if training and edge_drop_rate > 0.0 and dropout_key is not None:
+        ell = maybe_compile_ell(normed_adj, cache, cache_key)
+        from ...ops.ell import EllAdj
+        if isinstance(ell, EllAdj) and ell.slot_eid is not None:
+            keep = jax.random.bernoulli(dropout_key, 1.0 - edge_drop_rate,
+                                        normed_adj.value.shape)
+            dropped = jnp.where(keep,
+                                normed_adj.value / (1.0 - edge_drop_rate), 0.0)
+            return ell.with_edge_values(dropped)
+        return normed_adj.dropout(edge_drop_rate, key=dropout_key,
+                                  training=training)
+    return maybe_compile_ell(normed_adj, cache, cache_key)
+
+
 def precompute_propagated_features(x, sparse_adj: SparseMatrix, norm="both",
                                    add_self_loop=True, sym=True, renorm=True,
                                    improved=False, cache: Optional[dict] = None):
@@ -221,12 +243,10 @@ def gcn(x, sparse_adj: SparseMatrix, kernel, bias=None, activation=None,
     """
     normed_adj = gcn_norm_adj(sparse_adj, norm=norm, add_self_loop=add_self_loop,
                               sym=sym, renorm=renorm, improved=improved, cache=cache)
-    if not (training and edge_drop_rate > 0.0):
-        # ELL-packed fast path (edge dropout needs the COO layout)
-        normed_adj = maybe_compile_ell(
-            normed_adj, cache,
-            compute_cache_key(norm, add_self_loop, sym, renorm, improved))
-    normed_adj = normed_adj.dropout(edge_drop_rate, key=dropout_key, training=training)
+    normed_adj = compile_and_dropout(
+        normed_adj, cache,
+        compute_cache_key(norm, add_self_loop, sym, renorm, improved),
+        edge_drop_rate, dropout_key, training)
 
     if kernel is None:
         h = x

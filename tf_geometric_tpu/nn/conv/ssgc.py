@@ -6,7 +6,7 @@ import jax
 
 from ...sparse.matrix import SparseMatrix
 from .appnp import mlp_encode
-from .gcn import compute_cache_key, gcn_norm_adj, maybe_compile_ell
+from .gcn import compile_and_dropout, compute_cache_key, gcn_norm_adj
 
 __all__ = ["ssgc"]
 
@@ -20,14 +20,12 @@ def ssgc(x, edge_index, edge_weight, kernels=None, biases=None,
     num_nodes = x.shape[0]
     normed_adj = gcn_norm_adj(
         SparseMatrix(edge_index, edge_weight, (num_nodes, num_nodes)), cache=cache)
-    if not (training and edge_drop_rate > 0.0):
-        normed_adj = maybe_compile_ell(
-            normed_adj, cache, compute_cache_key("both", True, True, True, False))
-
     edge_key = mlp_key = None
     if training and dropout_key is not None:
         edge_key, mlp_key = jax.random.split(dropout_key)
-    normed_adj = normed_adj.dropout(edge_drop_rate, key=edge_key, training=training)
+    normed_adj = compile_and_dropout(
+        normed_adj, cache, compute_cache_key("both", True, True, True, False),
+        edge_drop_rate, edge_key, training)
 
     h = mlp_encode(x, kernels, biases, dense_activation, dense_drop_rate,
                    last_dense_drop_rate, training, mlp_key)

@@ -30,28 +30,43 @@ from ..utils.union_utils import convert_union_to_numpy
 __all__ = ["EllAdj", "build_ell_arrays", "ell_spmm"]
 
 
-def build_ell_arrays(rows, cols, vals, num_rows: int, num_cols: int, K: int):
+def build_ell_arrays(rows, cols, vals, num_rows: int, num_cols: int, K: int,
+                     edge_ids=None, eid_sentinel=None):
     """Host-side ELL packing (vectorized numpy): first K edges per row into
-    slots, overflow into a row-sorted COO tail padded to a multiple of 128."""
+    slots, overflow into a row-sorted COO tail padded to a multiple of 128.
+
+    Also returns the **slot↔edge-id maps** (``slot_eid [N, K]``,
+    ``tail_eid``): which original edge fills each slot (sentinel = number of
+    edges for padding). These make per-step *dynamic* edge values (attention
+    weights, edge dropout) a cheap scalar gather while keeping the packed
+    layout static.
+    """
+    if edge_ids is None:
+        edge_ids = np.arange(len(rows), dtype=np.int64)
+    num_edges_sentinel = (int(eid_sentinel) if eid_sentinel is not None
+                          else int(edge_ids.max(initial=-1)) + 1)
     order = np.argsort(rows, kind="stable")
-    r, c, v = rows[order], cols[order], vals[order]
+    r, c, v, e = rows[order], cols[order], vals[order], edge_ids[order]
     counts = np.bincount(r, minlength=num_rows) if len(r) else np.zeros(num_rows, np.int64)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     pos = np.arange(len(r)) - starts[r] if len(r) else np.zeros(0, np.int64)
     in_ell = pos < K
     slots_col = np.zeros((num_rows, K), np.int32)
     slots_val = np.zeros((num_rows, K), np.float32)
+    slot_eid = np.full((num_rows, K), num_edges_sentinel, np.int32)
     slots_col[r[in_ell], pos[in_ell]] = c[in_ell]
     slots_val[r[in_ell], pos[in_ell]] = v[in_ell]
-    tr, tc, tv = r[~in_ell], c[~in_ell], v[~in_ell]
+    slot_eid[r[in_ell], pos[in_ell]] = e[in_ell]
+    tr, tc, tv, te = r[~in_ell], c[~in_ell], v[~in_ell], e[~in_ell]
     # pad the tail to a bucket boundary so repeated builds hit the jit cache
     pad = (-len(tr)) % 128
     if pad:
         tr = np.concatenate([tr, np.full(pad, num_rows, np.int64)])
         tc = np.concatenate([tc, np.zeros(pad, np.int64)])
         tv = np.concatenate([tv, np.zeros(pad, np.float32)])
+        te = np.concatenate([te, np.full(pad, num_edges_sentinel, np.int64)])
     return (slots_col, slots_val, tr.astype(np.int32), tc.astype(np.int32),
-            tv.astype(np.float32))
+            tv.astype(np.float32), slot_eid, te.astype(np.int32))
 
 
 def _choose_k(num_edges: int, num_rows: int) -> int:
@@ -200,56 +215,96 @@ class EllAdj:
 
     __slots__ = ("slots_col", "slots_val", "tail_row", "tail_col", "tail_val",
                  "t_slots_col", "t_slots_val", "t_tail_row", "t_tail_col",
-                 "t_tail_val", "_shape")
+                 "t_tail_val", "slot_eid", "tail_eid", "t_slot_eid",
+                 "t_tail_eid", "_shape", "_num_edges")
 
     _LEAVES = ("slots_col", "slots_val", "tail_row", "tail_col", "tail_val",
                "t_slots_col", "t_slots_val", "t_tail_row", "t_tail_col",
-               "t_tail_val")
+               "t_tail_val", "slot_eid", "tail_eid", "t_slot_eid", "t_tail_eid")
 
     def __init__(self, **kw):
         for name in self._LEAVES:
-            setattr(self, name, kw[name])
+            setattr(self, name, kw.get(name))
         self._shape = tuple(kw["shape"])
+        self._num_edges = kw.get("num_edges")
 
     def tree_flatten(self):
-        return tuple(getattr(self, n) for n in self._LEAVES), self._shape
+        return (tuple(getattr(self, n) for n in self._LEAVES),
+                (self._shape, self._num_edges))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
         for n, c in zip(cls._LEAVES, children):
             setattr(obj, n, c)
-        obj._shape = aux
+        obj._shape, obj._num_edges = aux
         return obj
 
     @property
     def shape(self):
         return self._shape
 
+    @property
+    def num_edges(self):
+        return self._num_edges
+
     @classmethod
     def from_coo(cls, index, value, shape, k: Optional[int] = None) -> "EllAdj":
-        """Host-side build from concrete COO arrays (eager only)."""
+        """Host-side build from concrete COO arrays (eager only).
+
+        ``slot_eid`` maps refer to positions in the **original** (unfiltered)
+        edge array, so per-step values indexed like the input edge list slot
+        straight in via :meth:`with_edge_values`.
+        """
         index = convert_union_to_numpy(index, np.int64)
         value = convert_union_to_numpy(value, np.float32)
         if value is None:
             value = np.ones(index.shape[1], np.float32)
         num_rows, num_cols = int(shape[0]), int(shape[1])
+        num_edges = index.shape[1]
         # drop out-of-range (padded) edges before packing
         ok = ((index[0] >= 0) & (index[0] < num_rows)
               & (index[1] >= 0) & (index[1] < num_cols))
         rows, cols, vals = index[0][ok], index[1][ok], value[ok]
+        eids = np.nonzero(ok)[0].astype(np.int64)
         if k is None:
             k = _choose_k(len(rows), num_rows)
-        sc, sv, tr, tc, tv = build_ell_arrays(rows, cols, vals, num_rows,
-                                              num_cols, k)
-        tsc, tsv, ttr, ttc, ttv = build_ell_arrays(cols, rows, vals, num_cols,
-                                                   num_rows, k)
+        sc, sv, tr, tc, tv, se, te = build_ell_arrays(
+            rows, cols, vals, num_rows, num_cols, k, edge_ids=eids,
+            eid_sentinel=num_edges)
+        tsc, tsv, ttr, ttc, ttv, tse, tte = build_ell_arrays(
+            cols, rows, vals, num_cols, num_rows, k, edge_ids=eids,
+            eid_sentinel=num_edges)
         return cls(slots_col=jnp.asarray(sc), slots_val=jnp.asarray(sv),
                    tail_row=jnp.asarray(tr), tail_col=jnp.asarray(tc),
                    tail_val=jnp.asarray(tv),
                    t_slots_col=jnp.asarray(tsc), t_slots_val=jnp.asarray(tsv),
                    t_tail_row=jnp.asarray(ttr), t_tail_col=jnp.asarray(ttc),
-                   t_tail_val=jnp.asarray(ttv), shape=(num_rows, num_cols))
+                   t_tail_val=jnp.asarray(ttv),
+                   slot_eid=jnp.asarray(se), tail_eid=jnp.asarray(te),
+                   t_slot_eid=jnp.asarray(tse), t_tail_eid=jnp.asarray(tte),
+                   shape=(num_rows, num_cols), num_edges=num_edges)
+
+    def with_edge_values(self, edge_values) -> "EllAdj":
+        """Re-skin the static layout with per-edge values (shape [E]).
+
+        The slot↔edge maps keep forward and transpose consistent, so dynamic
+        values (attention weights, per-step edge dropout) work exactly —
+        and gradients flow back to ``edge_values`` through the gathers.
+        """
+        padded = jnp.concatenate([jnp.asarray(edge_values),
+                                  jnp.zeros((1,), jnp.asarray(edge_values).dtype)])
+        E = self._num_edges
+
+        def pick(eid):
+            return jnp.take(padded, jnp.clip(eid, 0, E), axis=0)
+
+        kw = {n: getattr(self, n) for n in self._LEAVES}
+        kw.update(slots_val=pick(self.slot_eid), tail_val=pick(self.tail_eid),
+                  t_slots_val=pick(self.t_slot_eid),
+                  t_tail_val=pick(self.t_tail_eid),
+                  shape=self._shape, num_edges=E)
+        return EllAdj(**kw)
 
     # -- SparseMatrix-compatible surface -------------------------------------
     def matmul(self, h, num_or_size_splits=None):
