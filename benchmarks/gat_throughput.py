@@ -68,10 +68,10 @@ def main():
         return (t_hi - t_lo) / 8
 
     cache = {}
-    # prebuild layout eagerly
-    _ = gat(x, ei, params["wq"], params["bq"], jax.nn.relu,
-            params["wk"], params["bk"], jax.nn.relu, params["wv"],
-            num_heads=HEADS, cache=cache)
+    # prebuild only the edge layout (host-side) — an eager full forward would
+    # dispatch op-by-op through the tunnel
+    from tf_geometric_tpu.nn.conv.gat import _gat_edge_cache
+    _gat_edge_cache(ei, N, cache)
     t_fast = measure(cache)
     print(f"GAT ELL-cached: {t_fast*1000:8.2f} ms/step  "
           f"{E/t_fast/1e6:7.1f} M edges/s", flush=True)

@@ -12,6 +12,7 @@ from . import layers
 from . import sparse
 from . import ops
 from . import utils
+from . import datasets
 from .data.graph import Graph, BatchGraph, HeteroGraph, HeteroBatchGraph
 
 __version__ = "0.1.0"

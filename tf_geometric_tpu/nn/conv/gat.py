@@ -92,28 +92,35 @@ def gat(x, edge_index,
     Kh = K.reshape(num_nodes, num_heads, d_q)
     Vh = V.reshape(num_nodes, num_heads, d_v)
 
-    # SDDMM: per-edge, per-head score (gat.py:78-79)
     scale = jnp.sqrt(jnp.asarray(d_q, jnp.float32))
-    att = jnp.sum(jnp.take(Qh, safe_row, axis=0) * jnp.take(Kh, safe_col, axis=0),
-                  axis=-1) / scale  # [E, H]
-
-    # softmax over each destination's incoming edges, vectorized across heads
-    att = segment_softmax(att, row, num_nodes)
-
-    if training and edge_drop_rate > 0.0 and dropout_key is not None:
-        keep = jax.random.bernoulli(dropout_key, 1.0 - edge_drop_rate, att.shape)
-        att = jnp.where(keep, att / (1.0 - edge_drop_rate), 0.0)
 
     if ell_layout is not None:
-        # scatter-free aggregation: dynamic-value ELL per head
-        from ...ops.ell import ell_spmm
+        # Merged-head fast path: all tensors stay full-width [·, H·d]
+        # (128-lane friendly — per-head [·, d≤32] layouts pad 4-16× on TPU).
+        # SDDMM via two wide gathers + blockwise reduce; softmax head-major
+        # ([H, E]: heads on sublanes, edges on lanes); aggregation as ONE
+        # dynamic-value multi-head ELL pass (ops/ell.py).
+        from ...ops.ell import ell_spmm_multihead
 
-        def per_head(att_h, v_h):
-            return ell_spmm(ell_layout.with_edge_values(att_h), v_h,
-                            diff_values=True)
-
-        h_heads = jax.vmap(per_head, in_axes=(1, 1), out_axes=1)(att, Vh)
+        prod = (jnp.take(Q, safe_row, axis=0) * jnp.take(K, safe_col, axis=0))
+        att_he = prod.reshape(E, num_heads, d_q).sum(-1).T / scale   # [H, E]
+        att_he = jax.vmap(lambda a: segment_softmax(a, row, num_nodes))(att_he)
+        if training and edge_drop_rate > 0.0 and dropout_key is not None:
+            keep = jax.random.bernoulli(dropout_key, 1.0 - edge_drop_rate,
+                                        att_he.shape)
+            att_he = jnp.where(keep, att_he / (1.0 - edge_drop_rate), 0.0)
+        h_flat = ell_spmm_multihead(ell_layout, att_he.T, V, d_v)   # [N, H·d_v]
+        h_heads = h_flat.reshape(num_nodes, num_heads, d_v)
     else:
+        # SDDMM: per-edge, per-head score (gat.py:78-79)
+        att = jnp.sum(jnp.take(Qh, safe_row, axis=0)
+                      * jnp.take(Kh, safe_col, axis=0), axis=-1) / scale  # [E, H]
+        # softmax over each destination's incoming edges, across heads
+        att = segment_softmax(att, row, num_nodes)
+        if training and edge_drop_rate > 0.0 and dropout_key is not None:
+            keep = jax.random.bernoulli(dropout_key, 1.0 - edge_drop_rate,
+                                        att.shape)
+            att = jnp.where(keep, att / (1.0 - edge_drop_rate), 0.0)
         # attention-weighted aggregation (gat.py:89): [E, H, d_v] → [N, H, d_v]
         msg = jnp.take(Vh, safe_col, axis=0) * att[:, :, None]
         h_heads = segment_sum(msg.reshape(E, num_heads * d_v), row, num_nodes)

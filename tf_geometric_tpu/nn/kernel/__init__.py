@@ -1,5 +1,6 @@
 from .segment import (segment_sum, segment_mean, segment_max, segment_min,
                       segment_softmax, segment_count, segment_normalize)
 from .map_reduce import (aggregate_neighbors, identity_mapper, gcn_mapper,
+                         neighbor_count_mapper,
                          sum_reducer, mean_reducer, max_reducer, min_reducer,
                          identity_updater, sum_updater)

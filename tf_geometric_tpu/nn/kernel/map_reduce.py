@@ -20,6 +20,7 @@ from .segment import segment_max, segment_mean, segment_min, segment_sum
 
 __all__ = [
     "identity_mapper",
+    "neighbor_count_mapper",
     "gcn_mapper",
     "sum_reducer",
     "mean_reducer",
@@ -38,6 +39,11 @@ __all__ = [
 def identity_mapper(repeated_x, neighbor_x, edge_weight=None):
     """Pass neighbor features through unchanged (map_reduce.py:7-8)."""
     return neighbor_x
+
+
+def neighbor_count_mapper(repeated_x, neighbor_x, edge_weight=None):
+    """Ones per edge — reduces to the neighbor count (map_reduce.py:11-12)."""
+    return jnp.ones((neighbor_x.shape[0], 1))
 
 
 def gcn_mapper(repeated_x, neighbor_x, edge_weight=None):

@@ -179,6 +179,100 @@ def _ell_honly_bwd(slots_col, tail_row, tail_col, t_slots_col, t_tail_row,
 _ell_spmm_honly.defvjp(_ell_honly_fwd, _ell_honly_bwd)
 
 
+# -- multi-head dynamic-value variant ---------------------------------------
+# GAT-style aggregation: per-edge values are an H-vector (one weight per
+# head) and the dense operand packs heads along the feature dim [N, H·d].
+# Head weights broadcast across their d-wide block via jnp.repeat, so all
+# gathers stay full-width (128-lane friendly) instead of H separate [N, d]
+# passes (which pad 4-16x on TPU and stack huge residuals under scan).
+
+def _mh_expand(a, d_head: int):
+    """[M, H] → [M, H·d]: each head's scalar repeated across its block."""
+    return jnp.repeat(a, d_head, axis=-1)
+
+
+def _mh_forward(slots_col, slot_eid, tail_row, tail_col, tail_eid,
+                num_rows, att_pad, v, d_head):
+    n_src = v.shape[0]
+    K = slots_col.shape[1]
+    out = jnp.zeros((num_rows, v.shape[1]), v.dtype)
+    for k in range(K):
+        a_k = jnp.take(att_pad, jnp.clip(slot_eid[:, k], 0, att_pad.shape[0] - 1),
+                       axis=0)
+        col_k = jnp.clip(slots_col[:, k], 0, n_src - 1)
+        out = out + jnp.take(v, col_k, axis=0) * _mh_expand(a_k, d_head).astype(v.dtype)
+    if tail_row.shape[0]:
+        t_a = jnp.take(att_pad, jnp.clip(tail_eid, 0, att_pad.shape[0] - 1), axis=0)
+        msg = jnp.take(v, jnp.clip(tail_col, 0, n_src - 1), axis=0) \
+            * _mh_expand(t_a, d_head).astype(v.dtype)
+        out = out + jax.ops.segment_sum(msg, tail_row, num_segments=num_rows,
+                                        indices_are_sorted=True)
+    return out
+
+
+def _mh_impl(slots_col, slot_eid, tail_row, tail_col, tail_eid,
+             t_slots_col, t_slot_eid, t_tail_row, t_tail_col, t_tail_eid,
+             num_rows, num_cols, num_edges, d_head, att, v):
+    att_pad = jnp.concatenate([att, jnp.zeros((1, att.shape[1]), att.dtype)])
+    return _mh_forward(slots_col, slot_eid, tail_row, tail_col, tail_eid,
+                       num_rows, att_pad, v, d_head)
+
+
+_mh_vjp = jax.custom_vjp(_mh_impl, nondiff_argnums=tuple(range(14)))
+
+
+def _mh_fwd(slots_col, slot_eid, tail_row, tail_col, tail_eid,
+            t_slots_col, t_slot_eid, t_tail_row, t_tail_col, t_tail_eid,
+            num_rows, num_cols, num_edges, d_head, att, v):
+    out = _mh_impl(slots_col, slot_eid, tail_row, tail_col, tail_eid,
+                   t_slots_col, t_slot_eid, t_tail_row, t_tail_col, t_tail_eid,
+                   num_rows, num_cols, num_edges, d_head, att, v)
+    return out, (att, v)
+
+
+def _mh_bwd(slots_col, slot_eid, tail_row, tail_col, tail_eid,
+            t_slots_col, t_slot_eid, t_tail_row, t_tail_col, t_tail_eid,
+            num_rows, num_cols, num_edges, d_head, residuals, dy):
+    att, v = residuals
+    H = att.shape[1]
+    att_pad = jnp.concatenate([att, jnp.zeros((1, H), att.dtype)])
+    # dv = Aᵀ_w dy via the transpose layout (same per-edge weights)
+    dv = _mh_forward(t_slots_col, t_slot_eid, t_tail_row, t_tail_col, t_tail_eid,
+                     num_cols, att_pad, dy, d_head)
+    # d_att[e, h] = <dy[row_e] block h, v[col_e] block h>
+    n_src = v.shape[0]
+    d_att = jnp.zeros((num_edges + 1, H), att.dtype)
+    K = slots_col.shape[1]
+    for k in range(K):
+        col_k = jnp.clip(slots_col[:, k], 0, n_src - 1)
+        prod = dy * jnp.take(v, col_k, axis=0)              # [N, H·d]
+        d_slot = prod.reshape(num_rows, H, d_head).sum(-1)  # [N, H]
+        d_att = d_att.at[slot_eid[:, k]].add(d_slot.astype(att.dtype),
+                                             mode="drop")
+    if tail_row.shape[0]:
+        t_prod = (jnp.take(dy, jnp.clip(tail_row, 0, num_rows - 1), axis=0)
+                  * jnp.take(v, jnp.clip(tail_col, 0, n_src - 1), axis=0))
+        d_t = t_prod.reshape(-1, H, d_head).sum(-1)
+        d_att = d_att.at[tail_eid].add(d_t.astype(att.dtype), mode="drop")
+    return (d_att[:num_edges], dv)
+
+
+_mh_vjp.defvjp(_mh_fwd, _mh_bwd)
+
+
+def ell_spmm_multihead(ell: "EllAdj", edge_att, v, d_head: int):
+    """Attention-weighted multi-head aggregation on the packed layout.
+
+    edge_att: [E, H] per-edge per-head weights (post-softmax);
+    v: [N, H·d_head] head-blocked values. Returns [num_rows, H·d_head].
+    """
+    return _mh_vjp(ell.slots_col, ell.slot_eid, ell.tail_row, ell.tail_col,
+                   ell.tail_eid, ell.t_slots_col, ell.t_slot_eid,
+                   ell.t_tail_row, ell.t_tail_col, ell.t_tail_eid,
+                   ell.shape[0], ell.shape[1], ell.num_edges, d_head,
+                   edge_att, v)
+
+
 def ell_spmm(ell: "EllAdj", h, diff_values: bool = False, compute_dtype=None):
     """A @ h with the ELL layout. ``diff_values=True`` additionally produces
     per-slot value cotangents (an extra SDDMM in backward); the default

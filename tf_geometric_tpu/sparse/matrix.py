@@ -102,6 +102,17 @@ class SparseMatrix:
         index = np.stack([row, col], axis=0).astype(np.int32)
         return cls(index, dense[row, col].astype(np.float32), dense.shape)
 
+    def to_scipy(self):
+        """scipy.sparse.coo_matrix view (host-side interop)."""
+        import scipy.sparse as sp
+        import jax as _jax
+        index = np.asarray(_jax.device_get(self.index))
+        value = np.asarray(_jax.device_get(self.value))
+        ok = ((index[0] >= 0) & (index[0] < self._shape[0])
+              & (index[1] >= 0) & (index[1] < self._shape[1]))
+        return sp.coo_matrix((value[ok], (index[0][ok], index[1][ok])),
+                             shape=self._shape)
+
     @classmethod
     def from_scipy(cls, mat) -> "SparseMatrix":
         coo = mat.tocoo()
