@@ -195,12 +195,19 @@ def _mh_forward(slots_col, slot_eid, tail_row, tail_col, tail_eid,
                 num_rows, att_pad, v, d_head):
     n_src = v.shape[0]
     K = slots_col.shape[1]
-    out = jnp.zeros((num_rows, v.shape[1]), v.dtype)
-    for k in range(K):
-        a_k = jnp.take(att_pad, jnp.clip(slot_eid[:, k], 0, att_pad.shape[0] - 1),
-                       axis=0)
-        col_k = jnp.clip(slots_col[:, k], 0, n_src - 1)
-        out = out + jnp.take(v, col_k, axis=0) * _mh_expand(a_k, d_head).astype(v.dtype)
+
+    # fori_loop keeps the emitted HLO O(1) in K (unrolling K gathers in both
+    # fwd and the custom bwd made the program large enough to stall the
+    # remote TPU compile service)
+    def body(k, out):
+        eid_k = jax.lax.dynamic_index_in_dim(slot_eid, k, axis=1, keepdims=False)
+        col_k = jax.lax.dynamic_index_in_dim(slots_col, k, axis=1, keepdims=False)
+        a_k = jnp.take(att_pad, jnp.clip(eid_k, 0, att_pad.shape[0] - 1), axis=0)
+        gathered = jnp.take(v, jnp.clip(col_k, 0, n_src - 1), axis=0)
+        return out + gathered * _mh_expand(a_k, d_head).astype(v.dtype)
+
+    out = jax.lax.fori_loop(0, K, body,
+                            jnp.zeros((num_rows, v.shape[1]), v.dtype))
     if tail_row.shape[0]:
         t_a = jnp.take(att_pad, jnp.clip(tail_eid, 0, att_pad.shape[0] - 1), axis=0)
         msg = jnp.take(v, jnp.clip(tail_col, 0, n_src - 1), axis=0) \
@@ -241,14 +248,17 @@ def _mh_bwd(slots_col, slot_eid, tail_row, tail_col, tail_eid,
                      num_cols, att_pad, dy, d_head)
     # d_att[e, h] = <dy[row_e] block h, v[col_e] block h>
     n_src = v.shape[0]
-    d_att = jnp.zeros((num_edges + 1, H), att.dtype)
     K = slots_col.shape[1]
-    for k in range(K):
-        col_k = jnp.clip(slots_col[:, k], 0, n_src - 1)
-        prod = dy * jnp.take(v, col_k, axis=0)              # [N, H·d]
-        d_slot = prod.reshape(num_rows, H, d_head).sum(-1)  # [N, H]
-        d_att = d_att.at[slot_eid[:, k]].add(d_slot.astype(att.dtype),
-                                             mode="drop")
+
+    def body(k, d_att):
+        eid_k = jax.lax.dynamic_index_in_dim(slot_eid, k, axis=1, keepdims=False)
+        col_k = jax.lax.dynamic_index_in_dim(slots_col, k, axis=1, keepdims=False)
+        prod = dy * jnp.take(v, jnp.clip(col_k, 0, n_src - 1), axis=0)  # [N, H·d]
+        d_slot = prod.reshape(num_rows, H, d_head).sum(-1)              # [N, H]
+        return d_att.at[eid_k].add(d_slot.astype(att.dtype), mode="drop")
+
+    d_att = jax.lax.fori_loop(0, K, body,
+                              jnp.zeros((num_edges + 1, H), att.dtype))
     if tail_row.shape[0]:
         t_prod = (jnp.take(dy, jnp.clip(tail_row, 0, num_rows - 1), axis=0)
                   * jnp.take(v, jnp.clip(tail_col, 0, n_src - 1), axis=0))
