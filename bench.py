@@ -16,13 +16,35 @@ per BASELINE.md; the roofline charges each SpMM pass its streaming bytes at
 819 GB/s — random-gather transaction limits make this a hard ceiling).
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 
+def _tpu_responsive(timeout_s: int = 150) -> bool:
+    """Probe the TPU in a subprocess — the axon tunnel can wedge for many
+    minutes after a killed client, and a hung op cannot be interrupted from
+    inside the process."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; print(float(jnp.arange(4).sum()))"],
+            timeout=timeout_s, capture_output=True)
+        return proc.returncode == 0 and b"6.0" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if os.environ.get("BENCH_FORCE_CPU") != "1" and not _tpu_responsive():
+        print("TPU unresponsive — falling back to CPU backend", file=sys.stderr)
+        os.environ["BENCH_FORCE_CPU"] = "1"
     import jax
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import optax
 
@@ -64,16 +86,21 @@ def main():
     optimizer = optax.adam(1e-2)
     opt_state = optimizer.init(params)
 
-    def loss_fn(p):
-        h = jax.nn.relu(px @ p["w0"] + p["b0"])
-        logits = adj.matmul(h @ p["w1"]) + p["b1"]
-        return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+    # graph data ride as jit ARGUMENTS (device arrays) — closure constants
+    # would be inlined into the HLO and shipped to the remote compiler
+    def loss_fn(p, adj_, px_, x_, y_):
+        h = jax.nn.relu(px_ @ p["w0"] + p["b0"])
+        logits = adj_.matmul(h @ p["w1"]) + p["b1"]
+        return optax.softmax_cross_entropy_with_integer_labels(logits, y_).mean()
 
     @jax.jit
-    def train_step(p, s):
-        loss, grads = jax.value_and_grad(loss_fn)(p)
+    def train_step_impl(p, s, adj_, px_, x_, y_):
+        loss, grads = jax.value_and_grad(loss_fn)(p, adj_, px_, x_, y_)
         updates, s = optimizer.update(grads, s, p)
         return optax.apply_updates(p, updates), s, loss
+
+    def train_step(p, s):
+        return train_step_impl(p, s, adj, px, x, y)
 
     # compile + drain
     params, opt_state, loss = train_step(params, opt_state)

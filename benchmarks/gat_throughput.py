@@ -37,28 +37,33 @@ def main():
     }
     optimizer = optax.adam(1e-3)
 
-    def measure(cache):
-        def loss_fn(p):
-            h = gat(x, ei, p["wq"], p["bq"], jax.nn.relu,
+    def measure(layout_args):
+        # layout/edges are jit ARGUMENTS (device arrays), never HLO constants
+        def loss_fn(p, layout, sorted_ei):
+            h = gat(x, ei if layout is None else None,
+                    p["wq"], p["bq"], jax.nn.relu,
                     p["wk"], p["bk"], jax.nn.relu, p["wv"],
-                    num_heads=HEADS, cache=cache)
+                    num_heads=HEADS, num_nodes=N,
+                    ell_layout=layout, sorted_edge_index=sorted_ei)
             logits = h @ p["wd"] + p["bd"]
             return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
 
         @jax.jit
-        def step(p, s):
-            loss, grads = jax.value_and_grad(loss_fn)(p)
+        def step(p, s, layout, sorted_ei):
+            loss, grads = jax.value_and_grad(loss_fn)(p, layout, sorted_ei)
             updates, s = optimizer.update(grads, s, p)
             return optax.apply_updates(p, updates), s, loss
 
+        layout, sorted_ei = layout_args
+        def step_ = lambda p, s: step(p, s, layout, sorted_ei)
         p, s = params, optimizer.init(params)
-        p, s, loss = step(p, s)
+        p, s, loss = step_(p, s)
         _ = np.asarray(loss)
 
         def run(iters, p, s):
             t = time.time()
             for _ in range(iters):
-                p, s, l = step(p, s)
+                p, s, l = step_(p, s)
             _ = np.asarray(l)
             return time.time() - t, p, s
 
@@ -68,14 +73,13 @@ def main():
         return (t_hi - t_lo) / 8
 
     cache = {}
-    # prebuild only the edge layout (host-side) — an eager full forward would
-    # dispatch op-by-op through the tunnel
+    # prebuild only the edge layout (host-side)
     from tf_geometric_tpu.nn.conv.gat import _gat_edge_cache
-    _gat_edge_cache(ei, N, cache)
-    t_fast = measure(cache)
+    sorted_ei, _, layout = _gat_edge_cache(ei, N, cache)
+    t_fast = measure((layout, sorted_ei))
     print(f"GAT ELL-cached: {t_fast*1000:8.2f} ms/step  "
           f"{E/t_fast/1e6:7.1f} M edges/s", flush=True)
-    t_plain = measure(None)
+    t_plain = measure((None, None))
     print(f"GAT plain:      {t_plain*1000:8.2f} ms/step  "
           f"{E/t_plain/1e6:7.1f} M edges/s", flush=True)
     print(f"speedup: {t_plain/t_fast:.2f}x")

@@ -56,18 +56,24 @@ def gat(x, edge_index,
         kernel, bias=None, activation=None, num_heads: int = 1,
         split_value_heads: bool = True, edge_drop_rate: float = 0.0,
         training: bool = False, dropout_key=None, num_nodes: Optional[int] = None,
-        cache: Optional[dict] = None):
+        cache: Optional[dict] = None, ell_layout=None, sorted_edge_index=None):
     """Functional GAT forward. ``x`` may be dense or SparseMatrix.
 
     With a ``cache``, the self-looped edge list is pre-sorted and ELL-packed
     once; attention aggregation then runs scatter-free (dynamic-value ELL).
+    For jit-compiled training steps, pass ``ell_layout``/``sorted_edge_index``
+    as ARGUMENTS of the jitted function instead (cache lookups at trace time
+    bake multi-MB layout constants into the HLO, which crushes compile times
+    through remote-compile services).
     """
     if num_nodes is None:
         num_nodes = x.shape[0]
 
-    # self-attention includes each node itself (gat.py:43)
-    edge_index, rows_sorted, ell_layout = _gat_edge_cache(edge_index, num_nodes,
-                                                          cache)
+    if ell_layout is not None and sorted_edge_index is not None:
+        edge_index = sorted_edge_index
+    else:
+        # self-attention includes each node itself (gat.py:43)
+        edge_index, _, ell_layout = _gat_edge_cache(edge_index, num_nodes, cache)
     row, col = edge_index[0], edge_index[1]
     safe_row = jnp.clip(row, 0, num_nodes - 1)
     safe_col = jnp.clip(col, 0, num_nodes - 1)

@@ -103,19 +103,20 @@ def _ell_spmm_impl(slots_col, tail_row, tail_col, t_slots_col, t_tail_row,
                            h, num_rows)
 
 
-_ell_spmm_vjp = jax.custom_vjp(_ell_spmm_impl, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+_ell_spmm_vjp = jax.custom_vjp(_ell_spmm_impl, nondiff_argnums=(6, 7))
 
 
 def _ell_fwd(slots_col, tail_row, tail_col, t_slots_col, t_tail_row, t_tail_col,
              num_rows, num_cols, slots_val, tail_val, t_slots_val, t_tail_val, h):
     out = _ell_matmul_raw(slots_col, slots_val, tail_row, tail_col, tail_val,
                           h, num_rows)
-    return out, (slots_val, tail_val, t_slots_val, t_tail_val, h)
+    return out, (slots_col, tail_row, tail_col, t_slots_col, t_tail_row,
+                 t_tail_col, slots_val, tail_val, t_slots_val, t_tail_val, h)
 
 
-def _ell_bwd(slots_col, tail_row, tail_col, t_slots_col, t_tail_row, t_tail_col,
-             num_rows, num_cols, residuals, dy):
-    slots_val, tail_val, t_slots_val, t_tail_val, h = residuals
+def _ell_bwd(num_rows, num_cols, residuals, dy):
+    (slots_col, tail_row, tail_col, t_slots_col, t_tail_row, t_tail_col,
+     slots_val, tail_val, t_slots_val, t_tail_val, h) = residuals
     # dh = Aᵀ dy via the transpose ELL (scatter-free again)
     dh = _ell_matmul_raw(t_slots_col, t_slots_val, t_tail_row, t_tail_col,
                          t_tail_val, dy, num_cols)
@@ -136,9 +137,9 @@ def _ell_bwd(slots_col, tail_row, tail_col, t_slots_col, t_tail_row, t_tail_col,
                                d_tail_val, 0.0).astype(tail_val.dtype)
     else:
         d_tail_val = jnp.zeros_like(tail_val)
-    # transpose values receive no cotangent (they mirror the primal values)
-    return (d_slots_val, d_tail_val, jnp.zeros_like(t_slots_val),
-            jnp.zeros_like(t_tail_val), dh)
+    # index arrays: no cotangents; transpose values mirror the primal values
+    return (None, None, None, None, None, None, d_slots_val, d_tail_val,
+            jnp.zeros_like(t_slots_val), jnp.zeros_like(t_tail_val), dh)
 
 
 _ell_spmm_vjp.defvjp(_ell_fwd, _ell_bwd)
@@ -156,8 +157,7 @@ def _ell_spmm_honly_impl(slots_col, tail_row, tail_col, t_slots_col, t_tail_row,
                            h, num_rows)
 
 
-_ell_spmm_honly = jax.custom_vjp(_ell_spmm_honly_impl,
-                                 nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+_ell_spmm_honly = jax.custom_vjp(_ell_spmm_honly_impl, nondiff_argnums=(6, 7))
 
 
 def _ell_honly_fwd(slots_col, tail_row, tail_col, t_slots_col, t_tail_row,
@@ -165,15 +165,14 @@ def _ell_honly_fwd(slots_col, tail_row, tail_col, t_slots_col, t_tail_row,
                    slots_val, tail_val, t_slots_val, t_tail_val, h):
     out = _ell_matmul_raw(slots_col, slots_val, tail_row, tail_col, tail_val,
                           h, num_rows)
-    return out, (t_slots_val, t_tail_val)
+    return out, (t_slots_col, t_tail_row, t_tail_col, t_slots_val, t_tail_val)
 
 
-def _ell_honly_bwd(slots_col, tail_row, tail_col, t_slots_col, t_tail_row,
-                   t_tail_col, num_rows, num_cols, residuals, dy):
-    t_slots_val, t_tail_val = residuals
+def _ell_honly_bwd(num_rows, num_cols, residuals, dy):
+    t_slots_col, t_tail_row, t_tail_col, t_slots_val, t_tail_val = residuals
     dh = _ell_matmul_raw(t_slots_col, t_slots_val, t_tail_row, t_tail_col,
                          t_tail_val, dy, num_cols)
-    return (None, None, None, None, dh)
+    return (None, None, None, None, None, None, None, None, None, None, dh)
 
 
 _ell_spmm_honly.defvjp(_ell_honly_fwd, _ell_honly_bwd)
@@ -225,7 +224,7 @@ def _mh_impl(slots_col, slot_eid, tail_row, tail_col, tail_eid,
                        num_rows, att_pad, v, d_head)
 
 
-_mh_vjp = jax.custom_vjp(_mh_impl, nondiff_argnums=tuple(range(14)))
+_mh_vjp = jax.custom_vjp(_mh_impl, nondiff_argnums=(10, 11, 12, 13))
 
 
 def _mh_fwd(slots_col, slot_eid, tail_row, tail_col, tail_eid,
@@ -234,13 +233,15 @@ def _mh_fwd(slots_col, slot_eid, tail_row, tail_col, tail_eid,
     out = _mh_impl(slots_col, slot_eid, tail_row, tail_col, tail_eid,
                    t_slots_col, t_slot_eid, t_tail_row, t_tail_col, t_tail_eid,
                    num_rows, num_cols, num_edges, d_head, att, v)
-    return out, (att, v)
+    return out, (slots_col, slot_eid, tail_row, tail_col, tail_eid,
+                 t_slots_col, t_slot_eid, t_tail_row, t_tail_col, t_tail_eid,
+                 att, v)
 
 
-def _mh_bwd(slots_col, slot_eid, tail_row, tail_col, tail_eid,
-            t_slots_col, t_slot_eid, t_tail_row, t_tail_col, t_tail_eid,
-            num_rows, num_cols, num_edges, d_head, residuals, dy):
-    att, v = residuals
+def _mh_bwd(num_rows, num_cols, num_edges, d_head, residuals, dy):
+    (slots_col, slot_eid, tail_row, tail_col, tail_eid,
+     t_slots_col, t_slot_eid, t_tail_row, t_tail_col, t_tail_eid,
+     att, v) = residuals
     H = att.shape[1]
     att_pad = jnp.concatenate([att, jnp.zeros((1, H), att.dtype)])
     # dv = Aᵀ_w dy via the transpose layout (same per-edge weights)
@@ -264,7 +265,8 @@ def _mh_bwd(slots_col, slot_eid, tail_row, tail_col, tail_eid,
                   * jnp.take(v, jnp.clip(tail_col, 0, n_src - 1), axis=0))
         d_t = t_prod.reshape(-1, H, d_head).sum(-1)
         d_att = d_att.at[tail_eid].add(d_t.astype(att.dtype), mode="drop")
-    return (d_att[:num_edges], dv)
+    return (None, None, None, None, None, None, None, None, None, None,
+            d_att[:num_edges], dv)
 
 
 _mh_vjp.defvjp(_mh_fwd, _mh_bwd)
