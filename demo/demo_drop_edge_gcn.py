@@ -48,7 +48,7 @@ def main():
                            training=training, rngs=rngs)
 
     test_acc = train_node_classifier(forward, params, jnp.asarray(graph.y),
-                                     splits, num_steps=100)
+                                     splits, num_steps=400)
 
     # speed test (demo_drop_edge_gcn.py:104-110)
     fwd = jax.jit(lambda p: forward(p, False, None))

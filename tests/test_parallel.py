@@ -140,3 +140,23 @@ def test_halo_exchange_matches_all_gather():
     for (w_h, b_h), (w_a, b_a) in zip(p_halo, p_ag):
         np.testing.assert_allclose(np.asarray(w_h), np.asarray(w_a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_community_order_improves_locality():
+    from tf_geometric_tpu.parallel.partition import community_order
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tf_geometric_tpu.datasets.synthetic_citation import synthetic_citation_graph
+
+    g = synthetic_citation_graph(num_nodes=2000, num_features=8, num_classes=10,
+                                 avg_degree=6, seed=1)
+    ei = np.asarray(g.edge_index, np.int64)
+    perm = community_order(ei, 2000)
+    assert sorted(perm.tolist()) == list(range(2000))
+    # locality: same-block fraction beats the unpermuted baseline
+    P = 4
+    npp = -(-2000 // P)
+    base = ((ei[0] // npp) == (ei[1] // npp)).mean()
+    pe = perm[ei]
+    ordered = ((pe[0] // npp) == (pe[1] // npp)).mean()
+    assert ordered > base + 0.1

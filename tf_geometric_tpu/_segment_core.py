@@ -75,7 +75,8 @@ def segment_min(data, segment_ids, num_segments: int, indices_are_sorted: bool =
     return jnp.where(jnp.isfinite(out), out, 0.0)
 
 
-def segment_softmax(data, segment_ids, num_segments: int, eps: float = 1e-8):
+def segment_softmax(data, segment_ids, num_segments: int, eps: float = 1e-8,
+                    indices_are_sorted: bool = False):
     """Numerically-stable softmax within each segment.
 
     Matches reference semantics (segment.py:26-33): subtract the per-segment
@@ -84,7 +85,8 @@ def segment_softmax(data, segment_ids, num_segments: int, eps: float = 1e-8):
     read back a 0 max / 0 sum, so padded entries produce finite garbage that
     callers multiply by zero weights.
     """
-    seg_max = jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+    seg_max = jax.ops.segment_max(data, segment_ids, num_segments=num_segments,
+                                  indices_are_sorted=indices_are_sorted)
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
     safe_ids = jnp.clip(segment_ids, 0, num_segments - 1)
     # Out-of-range (padded) entries would exponentiate against a *clipped*
@@ -95,7 +97,8 @@ def segment_softmax(data, segment_ids, num_segments: int, eps: float = 1e-8):
     shifted = jnp.where(in_range, data - jnp.take(seg_max, safe_ids, axis=0),
                         -jnp.inf)
     exped = jnp.exp(shifted)
-    seg_sum = jax.ops.segment_sum(exped, segment_ids, num_segments=num_segments)
+    seg_sum = jax.ops.segment_sum(exped, segment_ids, num_segments=num_segments,
+                                  indices_are_sorted=indices_are_sorted)
     denom = jnp.take(seg_sum, safe_ids, axis=0) + eps
     return exped / denom
 

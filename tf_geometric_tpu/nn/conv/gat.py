@@ -110,7 +110,8 @@ def gat(x, edge_index,
 
         prod = (jnp.take(Q, safe_row, axis=0) * jnp.take(K, safe_col, axis=0))
         att_he = prod.reshape(E, num_heads, d_q).sum(-1).T / scale   # [H, E]
-        att_he = jax.vmap(lambda a: segment_softmax(a, row, num_nodes))(att_he)
+        att_he = jax.vmap(lambda a: segment_softmax(
+            a, row, num_nodes, indices_are_sorted=True))(att_he)
         if training and edge_drop_rate > 0.0 and dropout_key is not None:
             keep = jax.random.bernoulli(dropout_key, 1.0 - edge_drop_rate,
                                         att_he.shape)
