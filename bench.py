@@ -45,6 +45,15 @@ def main():
     import jax
     if os.environ.get("BENCH_FORCE_CPU") == "1":
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: repeat runs (and the driver's run) skip the
+    # tunneled remote-compile service entirely
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import optax
 
