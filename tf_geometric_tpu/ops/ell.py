@@ -27,7 +27,7 @@ import numpy as np
 
 from ..utils.union_utils import convert_union_to_numpy
 
-__all__ = ["EllAdj", "build_ell_arrays", "ell_spmm"]
+__all__ = ["EllAdj", "build_ell_arrays", "ell_spmm", "ell_spmm_multihead"]
 
 
 def build_ell_arrays(rows, cols, vals, num_rows: int, num_cols: int, K: int,
