@@ -91,8 +91,11 @@ def _merge_prop(prop, order, starts, mode):
 
 def merge_duplicated_edge(edge_index, edge_props=None, merge_modes=None):
     """Collapse duplicate (row, col) pairs, merging properties
-    (graph_utils.py:67-126; modes min/max/mean/sum/first)."""
+    (graph_utils.py:67-126; modes min/max/mean/sum/first). ``merge_modes``
+    may be a single mode string, broadcast over all props."""
     edge_index = convert_union_to_numpy(edge_index, np.int32)
+    if isinstance(merge_modes, str) and edge_props is not None:
+        merge_modes = [merge_modes] * len(edge_props)
     edge_hash, num_nodes = convert_edge_index_to_edge_hash(edge_index)
     order = np.argsort(edge_hash, kind="stable")
     sorted_hash = edge_hash[order]
