@@ -155,3 +155,28 @@ def test_with_edge_values_roundtrip(rng):
                                 diff_values=True) ** 2)
     g = jax.grad(loss)(jnp.asarray(new_vals))
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_pallas_sorted_segment_sum_interpret(rng):
+    from tf_geometric_tpu.ops.pallas_segment import sorted_segment_sum_mxu
+    n, e, f = 40, 1200, 16
+    rows = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    msg = rng.normal(size=(e, f)).astype(np.float32)
+    out = sorted_segment_sum_mxu(jnp.asarray(msg), rows, n, interpret=True)
+    expected = np.zeros((n, f), np.float32)
+    np.add.at(expected, rows, msg)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_sorted_segment_sum_chunk_spanning_row(rng):
+    """A single row spanning multiple chunks must accumulate correctly."""
+    from tf_geometric_tpu.ops.pallas_segment import sorted_segment_sum_mxu, CHUNK
+    n, f = 5, 8
+    e = CHUNK * 2 + 100
+    rows = np.concatenate([np.zeros(CHUNK + 50, np.int32),
+                           np.full(e - CHUNK - 50, 3, np.int32)])
+    msg = rng.normal(size=(e, f)).astype(np.float32)
+    out = sorted_segment_sum_mxu(jnp.asarray(msg), rows, n, interpret=True)
+    expected = np.zeros((n, f), np.float32)
+    np.add.at(expected, rows, msg)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-4)
