@@ -188,3 +188,29 @@ def test_convert_edge_utils(rng):
     mask = gu.compute_edge_mask_by_node_index(jnp.asarray(ei), jnp.asarray([1, 2]),
                                               num_nodes=4)
     np.testing.assert_array_equal(np.asarray(mask), [False, False, True])
+
+
+def test_sparse_x_subgraph(rng):
+    from tf_geometric_tpu.sparse import SparseMatrix
+    x_dense = (rng.random((8, 5)) > 0.6).astype(np.float32)
+    x_sparse = SparseMatrix.from_dense(x_dense)
+    ei = rng.integers(0, 8, size=(2, 20)).astype(np.int32)
+    g = Graph(x_sparse, ei)
+    sub = g.sample_new_graph_by_node_index([1, 3, 6])
+    from tf_geometric_tpu.sparse import SparseMatrix as SM
+    assert isinstance(sub.x, SM)
+    np.testing.assert_allclose(np.asarray(sub.x.to_dense()),
+                               x_dense[[1, 3, 6]], rtol=1e-6)
+
+
+def test_sparse_features_through_gcn(rng):
+    from tf_geometric_tpu.sparse import SparseMatrix, eye
+    from tf_geometric_tpu import nn as tnn
+    n = 10
+    ei = rng.integers(0, n, size=(2, 30)).astype(np.int32)
+    adj = SparseMatrix(ei, None, (n, n))
+    w = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    out_sparse = tnn.gcn(eye(n), adj, w)
+    out_dense = tnn.gcn(jnp.eye(n), adj, w)
+    np.testing.assert_allclose(np.asarray(out_sparse), np.asarray(out_dense),
+                               rtol=1e-4, atol=1e-4)
