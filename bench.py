@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 
-def _tpu_responsive(timeout_s: int = 150) -> bool:
+def _tpu_responsive(timeout_s: int = 300) -> bool:
     """Probe the TPU in a subprocess — the axon tunnel can wedge for many
     minutes after a killed client, and a hung op cannot be interrupted from
     inside the process."""
