@@ -108,8 +108,20 @@ def main():
         updates, s = optimizer.update(grads, s, p)
         return optax.apply_updates(p, updates), s, loss
 
-    def train_step(p, s):
-        return train_step_impl(p, s, adj, px, x, y)
+    if os.environ.get("BENCH_INLINE_CONST") == "1":
+        # constants variant: larger HLO (slower compile through the tunnel)
+        # but lets XLA choose layouts for the packed arrays
+        @jax.jit
+        def train_step_const(p, s):
+            loss, grads = jax.value_and_grad(loss_fn)(p, adj, px, x, y)
+            updates, s = optimizer.update(grads, s, p)
+            return optax.apply_updates(p, updates), s, loss
+
+        def train_step(p, s):
+            return train_step_const(p, s)
+    else:
+        def train_step(p, s):
+            return train_step_impl(p, s, adj, px, x, y)
 
     # compile + drain
     params, opt_state, loss = train_step(params, opt_state)
