@@ -82,14 +82,23 @@ def main():
     cache = {}
     # prebuild only the edge layout (host-side)
     from tf_geometric_tpu.nn.conv.gat import _gat_edge_cache
+    from tf_geometric_tpu.ops import config as ops_config
     sorted_ei, _, layout = _gat_edge_cache(ei, N, cache)
     t_fast = measure((layout, sorted_ei))
-    print(f"GAT ELL-cached: {t_fast*1000:8.2f} ms/step  "
+    print(f"GAT fused fp32: {t_fast*1000:8.2f} ms/step  "
           f"{E/t_fast/1e6:7.1f} M edges/s", flush=True)
-    t_plain = measure((None, None))
-    print(f"GAT plain:      {t_plain*1000:8.2f} ms/step  "
-          f"{E/t_plain/1e6:7.1f} M edges/s", flush=True)
-    print(f"speedup: {t_plain/t_fast:.2f}x")
+    ops_config.set_ell_compute_dtype(jnp.bfloat16)
+    try:
+        t_bf16 = measure((layout, sorted_ei))
+    finally:
+        ops_config.set_ell_compute_dtype(None)
+    print(f"GAT fused bf16: {t_bf16*1000:8.2f} ms/step  "
+          f"{E/t_bf16/1e6:7.1f} M edges/s", flush=True)
+    if os.environ.get("GAT_BENCH_PLAIN") == "1":
+        t_plain = measure((None, None))
+        print(f"GAT plain:      {t_plain*1000:8.2f} ms/step  "
+              f"{E/t_plain/1e6:7.1f} M edges/s", flush=True)
+        print(f"speedup: {t_plain/t_fast:.2f}x")
 
 
 if __name__ == "__main__":

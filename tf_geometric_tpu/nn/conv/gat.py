@@ -43,8 +43,10 @@ def _gat_edge_cache(edge_index, num_nodes: int, cache: Optional[dict]):
     order = np.argsort(ei_np[0], kind="stable")
     sorted_ei = ei_np[:, order]
     from ...ops.ell import EllAdj
-    layout = EllAdj.from_coo(sorted_ei, np.ones(sorted_ei.shape[1], np.float32),
-                             (num_nodes, num_nodes))
+    from ...ops.ell_attention import build_gat_layout
+    ell = EllAdj.from_coo(sorted_ei, np.ones(sorted_ei.shape[1], np.float32),
+                          (num_nodes, num_nodes))
+    layout = build_gat_layout(ell)
     entry = (jnp.asarray(sorted_ei), True, layout)
     cache[key] = entry
     return entry
@@ -100,14 +102,29 @@ def gat(x, edge_index,
 
     scale = jnp.sqrt(jnp.asarray(d_q, jnp.float32))
 
-    if ell_layout is not None:
+    from ...ops.ell_attention import GatEllLayout, gat_attention_ell
+    if isinstance(ell_layout, GatEllLayout) and d_q == d_v:
+        # Fully fused scatter-free path (ops/ell_attention.py): SDDMM with
+        # row-aligned Q (no Q gather), dense slot-lane softmax + sorted tail,
+        # weighted ELL aggregation, transpose-ELL backward. See
+        # benchmarks/gat_breakdown.py for why each segment/scatter phase of
+        # the un-fused pipeline was the bottleneck.
+        h_flat = gat_attention_ell(ell_layout, Q, K, V, num_heads,
+                                   edge_drop_rate=edge_drop_rate,
+                                   training=training, dropout_key=dropout_key)
+        h_heads = h_flat.reshape(num_nodes, num_heads, d_v)
+    elif ell_layout is not None:
         # Merged-head fast path: all tensors stay full-width [·, H·d]
         # (128-lane friendly — per-head [·, d≤32] layouts pad 4-16× on TPU).
         # SDDMM via two wide gathers + blockwise reduce; softmax head-major
         # ([H, E]: heads on sublanes, edges on lanes); aggregation as ONE
-        # dynamic-value multi-head ELL pass (ops/ell.py).
+        # dynamic-value multi-head ELL pass (ops/ell.py). Used when the
+        # query/key head width differs from the value head width (the fused
+        # kernel requires them equal).
         from ...ops.ell import ell_spmm_multihead
 
+        ell = (ell_layout.ell if isinstance(ell_layout, GatEllLayout)
+               else ell_layout)
         prod = (jnp.take(Q, safe_row, axis=0) * jnp.take(K, safe_col, axis=0))
         att_he = prod.reshape(E, num_heads, d_q).sum(-1).T / scale   # [H, E]
         att_he = jax.vmap(lambda a: segment_softmax(
@@ -116,7 +133,7 @@ def gat(x, edge_index,
             keep = jax.random.bernoulli(dropout_key, 1.0 - edge_drop_rate,
                                         att_he.shape)
             att_he = jnp.where(keep, att_he / (1.0 - edge_drop_rate), 0.0)
-        h_flat = ell_spmm_multihead(ell_layout, att_he.T, V, d_v)   # [N, H·d_v]
+        h_flat = ell_spmm_multihead(ell, att_he.T, V, d_v)   # [N, H·d_v]
         h_heads = h_flat.reshape(num_nodes, num_heads, d_v)
     else:
         # SDDMM: per-edge, per-head score (gat.py:78-79)
