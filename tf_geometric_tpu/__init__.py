@@ -12,7 +12,9 @@ from . import layers
 from . import sparse
 from . import ops
 from . import utils
+from . import data
 from . import datasets
 from .data.graph import Graph, BatchGraph, HeteroGraph, HeteroBatchGraph
+from .sparse.matrix import SparseMatrix
 
 __version__ = "0.1.0"

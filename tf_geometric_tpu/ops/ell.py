@@ -45,6 +45,19 @@ def build_ell_arrays(rows, cols, vals, num_rows: int, num_cols: int, K: int,
         edge_ids = np.arange(len(rows), dtype=np.int64)
     num_edges_sentinel = (int(eid_sentinel) if eid_sentinel is not None
                           else int(edge_ids.max(initial=-1)) + 1)
+    from .. import native
+    if native.available():
+        packed = native.ell_pack(rows, cols, vals, edge_ids, num_rows, K,
+                                 num_edges_sentinel)
+        if packed is not None:
+            slots_col, slots_val, slot_eid, tr, tc, tv, te = packed
+            pad = (-len(tr)) % 128
+            if pad:
+                tr = np.concatenate([tr, np.full(pad, num_rows, np.int32)])
+                tc = np.concatenate([tc, np.zeros(pad, np.int32)])
+                tv = np.concatenate([tv, np.zeros(pad, np.float32)])
+                te = np.concatenate([te, np.full(pad, num_edges_sentinel, np.int32)])
+            return (slots_col, slots_val, tr, tc, tv, slot_eid, te)
     order = np.argsort(rows, kind="stable")
     r, c, v, e = rows[order], cols[order], vals[order], edge_ids[order]
     counts = np.bincount(r, minlength=num_rows) if len(r) else np.zeros(num_rows, np.int64)

@@ -103,6 +103,16 @@ def community_order(edge_index, num_nodes: int, num_iters: int = 8,
     """
     edge_index = convert_union_to_numpy(edge_index, np.int64)
     row, col = edge_index[0], edge_index[1]
+    from .. import native
+    if native.available():
+        order = native.sort_by_row(row, num_nodes)
+        row_ptr = native.build_row_ptr(row, num_nodes)
+        labels = native.lpa_labels(row_ptr, col[order].astype(np.int32),
+                                   num_nodes, num_iters)
+    else:
+        labels = None
+    if labels is not None:
+        return _labels_to_order(labels, num_nodes)
     labels = np.arange(num_nodes, dtype=np.int64)
     rng = np.random.default_rng(seed)
     for _ in range(num_iters):
@@ -125,7 +135,11 @@ def community_order(edge_index, num_nodes: int, num_iters: int = 8,
         if np.array_equal(new_labels, labels):
             break
         labels = new_labels
-    # communities contiguous, large communities first for balanced blocks
+    return _labels_to_order(labels, num_nodes)
+
+
+def _labels_to_order(labels: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Communities contiguous, large communities first for balanced blocks."""
     comm_ids, comm_inverse, comm_sizes = np.unique(labels, return_inverse=True,
                                                    return_counts=True)
     comm_rank = np.argsort(np.argsort(-comm_sizes))

@@ -479,12 +479,18 @@ class RandomNeighborSampler:
                             if edge_weight is None
                             else convert_union_to_numpy(edge_weight, np.float32))
         self.rng = np.random.default_rng(rng)
-        # CSR-style adjacency built once (graph_utils.py:630-664).
-        order = np.argsort(edge_index[0], kind="stable")
+        # CSR-style adjacency built once (graph_utils.py:630-664);
+        # O(E) native counting sort when the C++ library is available.
+        from .. import native
+        if native.available():
+            order = native.sort_by_row(edge_index[0], self.num_nodes)
+            self.row_ptr = native.build_row_ptr(edge_index[0], self.num_nodes)
+        else:
+            order = np.argsort(edge_index[0], kind="stable")
+            counts = np.bincount(edge_index[0], minlength=self.num_nodes)
+            self.row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         self.sorted_col = edge_index[1][order].astype(np.int64)
         self.sorted_weight = self.edge_weight[order]
-        counts = np.bincount(edge_index[0], minlength=self.num_nodes)
-        self.row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
 
     def sample(self, k=None, ratio=None, sampled_node_index=None, padding=False):
         """Returns (edge_index, edge_weight) over (virtually reindexed) nodes.
@@ -551,17 +557,29 @@ class RandomNeighborSampler:
 
         Zero-degree sources self-pad with weight 0 (matching the loop path's
         behavior). With ``virtual``, rows use local ids and neighbors outside
-        the sampled set are dropped (reindexed via a lookup)."""
-        deg = (self.row_ptr[sources + 1] - self.row_ptr[sources]).astype(np.int64)
-        r = self.rng.random((len(sources), k))
-        offs = np.floor(r * np.maximum(deg, 1)[:, None]).astype(np.int64)
-        pick = self.row_ptr[sources][:, None] + offs
-        col = self.sorted_col[np.minimum(pick, len(self.sorted_col) - 1)]
-        weight = self.sorted_weight[np.minimum(pick, len(self.sorted_weight) - 1)]
-        isolated = deg == 0
-        if isolated.any():
-            col[isolated] = sources[isolated, None]
-            weight[isolated] = 0.0
+        the sampled set are dropped (reindexed via a lookup). Uses the C++
+        OpenMP sampler when available (deterministic in (seed, source))."""
+        from .. import native
+        drawn = None
+        if native.available():
+            seed = int(self.rng.integers(np.iinfo(np.int64).max))
+            drawn = native.sample_fixed_k(
+                self.row_ptr, self.sorted_col.astype(np.int32),
+                self.sorted_weight, sources, k, seed)
+        if drawn is not None:
+            col, weight = drawn
+            col = col.astype(np.int64)
+        else:
+            deg = (self.row_ptr[sources + 1] - self.row_ptr[sources]).astype(np.int64)
+            r = self.rng.random((len(sources), k))
+            offs = np.floor(r * np.maximum(deg, 1)[:, None]).astype(np.int64)
+            pick = self.row_ptr[sources][:, None] + offs
+            col = self.sorted_col[np.minimum(pick, len(self.sorted_col) - 1)]
+            weight = self.sorted_weight[np.minimum(pick, len(self.sorted_weight) - 1)]
+            isolated = deg == 0
+            if isolated.any():
+                col[isolated] = sources[isolated, None]
+                weight[isolated] = 0.0
         row_ids = (np.arange(len(sources)) if virtual else sources)
         row = np.repeat(row_ids, k)
         col = col.reshape(-1)
