@@ -114,3 +114,16 @@ def test_aggregate_jit_and_grad(rng):
     g = jax.grad(loss)(jnp.asarray(x))
     assert g.shape == x.shape
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_segment_op_with_pad_zero_fills(rng):
+    from tf_geometric_tpu.nn.kernel.segment import segment_op_with_pad
+    data, ids = make_segments(rng, n=30, num_segments=10)
+    ids[ids == 7] = 3  # make segment 7 empty
+    out = segment_op_with_pad(jax.ops.segment_max, jnp.asarray(data),
+                              jnp.asarray(ids), num_segments=10)
+    expected = np.zeros((10, data.shape[1]), np.float32)
+    for s in range(10):
+        if (ids == s).any():
+            expected[s] = data[ids == s].max(axis=0)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-6)

@@ -26,6 +26,7 @@ __all__ = [
     "segment_softmax",
     "segment_count",
     "segment_normalize",
+    "segment_op_with_pad",
 ]
 
 
@@ -101,6 +102,20 @@ def segment_softmax(data, segment_ids, num_segments: int, eps: float = 1e-8,
                                   indices_are_sorted=indices_are_sorted)
     denom = jnp.take(seg_sum, safe_ids, axis=0) + eps
     return exped / denom
+
+
+def segment_op_with_pad(segment_op, data, segment_ids, num_segments: int):
+    """Apply a segment reduction, zero-filling empty segments.
+
+    API-parity wrapper for the reference's ``segment_op_with_pad``
+    (``nn/kernel/segment.py:5-23``), which exists there to give TF1's
+    sorted-only segment max/min unsorted semantics with zero padding. Under
+    JAX the unsorted ops are native, so this just runs ``segment_op`` and
+    replaces non-finite fill values (the -inf/+inf identities of empty
+    max/min segments) with 0.
+    """
+    out = segment_op(data, segment_ids, num_segments=num_segments)
+    return jnp.where(jnp.isfinite(out), out, 0.0)
 
 
 def segment_normalize(data, segment_ids, num_segments: int, eps: float = 1e-8):
