@@ -108,9 +108,17 @@ def main():
         updates, s = optimizer.update(grads, s, p)
         return optax.apply_updates(p, updates), s, loss
 
-    if os.environ.get("BENCH_INLINE_CONST") == "1":
-        # constants variant: larger HLO (slower compile through the tunnel)
-        # but lets XLA choose layouts for the packed arrays
+    if os.environ.get("BENCH_GRAPH_AS_ARGS") == "1":
+        # arguments variant: small HLO (fast compile through the tunnel) but
+        # measured 2.1x SLOWER — XLA picks worse layouts for packed arrays
+        # passed as jit arguments than for inlined constants (45 vs 93 M
+        # edges/s at arxiv scale). Kept as a fallback for cold-cache runs.
+        def train_step(p, s):
+            return train_step_impl(p, s, adj, px, x, y)
+    else:
+        # default: constants variant — larger HLO but XLA chooses layouts
+        # for the packed arrays; the persistent compile cache makes repeat
+        # runs (including the driver's) skip the remote compile entirely
         @jax.jit
         def train_step_const(p, s):
             loss, grads = jax.value_and_grad(loss_fn)(p, adj, px, x, y)
@@ -119,9 +127,6 @@ def main():
 
         def train_step(p, s):
             return train_step_const(p, s)
-    else:
-        def train_step(p, s):
-            return train_step_impl(p, s, adj, px, x, y)
 
     # compile + drain
     params, opt_state, loss = train_step(params, opt_state)

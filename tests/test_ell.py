@@ -180,3 +180,61 @@ def test_pallas_sorted_segment_sum_chunk_spanning_row(rng):
     expected = np.zeros((n, f), np.float32)
     np.add.at(expected, rows, msg)
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_ell_split_diag_matches_dense(rng):
+    # graph with guaranteed self-loops on every node (GCN-normalized shape)
+    x, ei, ew = random_graph(rng, 40, 200, 8)
+    loops = np.arange(40, dtype=np.int32)
+    ei = np.concatenate([ei, np.stack([loops, loops])], axis=1)
+    ew = np.concatenate([ew, rng.uniform(0.5, 1.5, 40).astype(np.float32)])
+    ell = EllAdj.from_coo(ei, ew, (40, 40), split_diag=True)
+    assert ell.diag_val.shape[0] == 40
+    # exactly one self-loop per row moved out of the packed part
+    num_rows_with_loop = len(np.unique(ei[0][ei[0] == ei[1]]))
+    packed = int((np.asarray(ell.slot_eid) < ei.shape[1]).sum()
+                 + (np.asarray(ell.tail_eid) < ei.shape[1]).sum())
+    assert packed == ei.shape[1] - num_rows_with_loop
+    dense = dense_adj(ei, ew, 40)
+    np.testing.assert_allclose(np.asarray(ell @ jnp.asarray(x)), dense @ x,
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_ell_split_diag_grads(rng):
+    x, ei, ew = random_graph(rng, 20, 80, 5)
+    loops = np.arange(20, dtype=np.int32)
+    ei = np.concatenate([ei, np.stack([loops, loops])], axis=1)
+    ew = np.concatenate([ew, np.full(20, 0.7, np.float32)])
+    ell = EllAdj.from_coo(ei, ew, (20, 20), split_diag=True)
+    dense = jnp.asarray(dense_adj(ei, ew, 20))
+
+    g_ell = jax.grad(lambda h: (ell_spmm(ell, h) ** 2).sum())(jnp.asarray(x))
+    g_dense = jax.grad(lambda h: ((dense @ h) ** 2).sum())(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g_ell), np.asarray(g_dense),
+                               rtol=1e-3, atol=1e-3)
+
+    # diff_values: gradients w.r.t. the diagonal itself
+    def loss_vals(diag_val):
+        e2 = EllAdj(**{n: getattr(ell, n) for n in ell._LEAVES},
+                    shape=ell.shape, num_edges=ell.num_edges)
+        e2.diag_val = diag_val
+        return (ell_spmm(e2, jnp.asarray(x), diff_values=True) ** 2).sum()
+
+    g_diag = jax.grad(loss_vals)(ell.diag_val)
+    out = np.asarray(dense) @ x
+    expected = 2.0 * (out * x).sum(-1)  # d/d(diag_i) of sum((A@x)^2)
+    np.testing.assert_allclose(np.asarray(g_diag), expected, rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_ell_split_diag_with_edge_values(rng):
+    x, ei, ew = random_graph(rng, 15, 60, 4)
+    loops = np.arange(15, dtype=np.int32)
+    ei = np.concatenate([ei, np.stack([loops, loops])], axis=1)
+    ew = np.concatenate([ew, np.ones(15, np.float32)])
+    ell = EllAdj.from_coo(ei, ew, (15, 15), split_diag=True)
+    new_vals = rng.normal(size=ei.shape[1]).astype(np.float32)
+    reskinned = ell.with_edge_values(jnp.asarray(new_vals))
+    dense = dense_adj(ei, new_vals, 15)
+    np.testing.assert_allclose(np.asarray(reskinned @ jnp.asarray(x)),
+                               dense @ x, rtol=1e-3, atol=1e-3)

@@ -224,7 +224,11 @@ def maybe_compile_ell(normed_adj, cache: Optional[dict], cache_key: str):
     if isinstance(normed_adj.value, jax.core.Tracer):
         return normed_adj  # can't build host-side layouts while tracing
     from ...ops.ell import EllAdj
-    ell = EllAdj.from_coo(normed_adj.index, normed_adj.value, normed_adj.shape)
+    # split_diag: a normalized adjacency with self-loops has ~N diagonal
+    # entries (~13% of edges at arxiv scale) that become a free elementwise
+    # multiply-add instead of gather transactions
+    ell = EllAdj.from_coo(normed_adj.index, normed_adj.value, normed_adj.shape,
+                          split_diag=normed_adj.shape[0] == normed_adj.shape[1])
     cache[ell_key] = ell
     return ell
 

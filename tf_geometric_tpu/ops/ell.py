@@ -91,8 +91,15 @@ def _choose_k(num_edges: int, num_rows: int) -> int:
 
 
 def _ell_matmul_raw(slots_col, slots_val, tail_row, tail_col, tail_val,
-                    h, num_rows: int):
-    """K dense gathers + sorted-COO tail; no scatter for the slot part."""
+                    h, num_rows: int, diag_val=None):
+    """K dense gathers + sorted-COO tail; no scatter for the slot part.
+
+    ``diag_val`` ([num_rows] or zero-length): self-loop values split out of
+    the packed layout — a pure elementwise multiply-add, no gather at all.
+    Gathers are transaction-bound (~3-15 ns/row, benchmarks/gather_locality.py)
+    so removing the ~13% of edges that are self-loops in a normalized
+    adjacency is a direct win. Only valid for square matrices.
+    """
     K = slots_col.shape[1]
     n_src = h.shape[0]
     out = jnp.zeros((num_rows,) + h.shape[1:], h.dtype)
@@ -104,6 +111,8 @@ def _ell_matmul_raw(slots_col, slots_val, tail_row, tail_col, tail_val,
         tmsg = jnp.take(h, safe_tc, axis=0) * tail_val[:, None].astype(h.dtype)
         out = out + jax.ops.segment_sum(tmsg, tail_row, num_segments=num_rows,
                                         indices_are_sorted=True)
+    if diag_val is not None and diag_val.shape[0]:
+        out = out + h * diag_val[:, None].astype(h.dtype)
     return out
 
 
@@ -111,28 +120,31 @@ def _ell_matmul_raw(slots_col, slots_val, tail_row, tail_col, tail_val,
 # arrays are residual inputs used only in backward.
 def _ell_spmm_impl(slots_col, tail_row, tail_col, t_slots_col, t_tail_row,
                    t_tail_col, num_rows, num_cols,
-                   slots_val, tail_val, t_slots_val, t_tail_val, h):
+                   slots_val, tail_val, t_slots_val, t_tail_val, diag_val, h):
     return _ell_matmul_raw(slots_col, slots_val, tail_row, tail_col, tail_val,
-                           h, num_rows)
+                           h, num_rows, diag_val)
 
 
 _ell_spmm_vjp = jax.custom_vjp(_ell_spmm_impl, nondiff_argnums=(6, 7))
 
 
 def _ell_fwd(slots_col, tail_row, tail_col, t_slots_col, t_tail_row, t_tail_col,
-             num_rows, num_cols, slots_val, tail_val, t_slots_val, t_tail_val, h):
+             num_rows, num_cols, slots_val, tail_val, t_slots_val, t_tail_val,
+             diag_val, h):
     out = _ell_matmul_raw(slots_col, slots_val, tail_row, tail_col, tail_val,
-                          h, num_rows)
+                          h, num_rows, diag_val)
     return out, (slots_col, tail_row, tail_col, t_slots_col, t_tail_row,
-                 t_tail_col, slots_val, tail_val, t_slots_val, t_tail_val, h)
+                 t_tail_col, slots_val, tail_val, t_slots_val, t_tail_val,
+                 diag_val, h)
 
 
 def _ell_bwd(num_rows, num_cols, residuals, dy):
     (slots_col, tail_row, tail_col, t_slots_col, t_tail_row, t_tail_col,
-     slots_val, tail_val, t_slots_val, t_tail_val, h) = residuals
-    # dh = Aᵀ dy via the transpose ELL (scatter-free again)
+     slots_val, tail_val, t_slots_val, t_tail_val, diag_val, h) = residuals
+    # dh = Aᵀ dy via the transpose ELL (scatter-free again); the diagonal of
+    # Aᵀ is the same diag_val
     dh = _ell_matmul_raw(t_slots_col, t_slots_val, t_tail_row, t_tail_col,
-                         t_tail_val, dy, num_cols)
+                         t_tail_val, dy, num_cols, diag_val)
     # value grads: per-slot SDDMM (gathers only)
     n_src = h.shape[0]
     d_slots_val = jnp.stack([
@@ -150,9 +162,16 @@ def _ell_bwd(num_rows, num_cols, residuals, dy):
                                d_tail_val, 0.0).astype(tail_val.dtype)
     else:
         d_tail_val = jnp.zeros_like(tail_val)
+    if diag_val.shape[0]:
+        d_diag_val = jnp.sum(dy * h, axis=-1).astype(diag_val.dtype)
+        # rows without a real self-loop hold value 0 (same mask rule as slots)
+        d_diag_val = jnp.where(diag_val != 0, d_diag_val, 0.0)
+    else:
+        d_diag_val = jnp.zeros_like(diag_val)
     # index arrays: no cotangents; transpose values mirror the primal values
     return (None, None, None, None, None, None, d_slots_val, d_tail_val,
-            jnp.zeros_like(t_slots_val), jnp.zeros_like(t_tail_val), dh)
+            jnp.zeros_like(t_slots_val), jnp.zeros_like(t_tail_val),
+            d_diag_val, dh)
 
 
 _ell_spmm_vjp.defvjp(_ell_fwd, _ell_bwd)
@@ -165,9 +184,10 @@ _ell_spmm_vjp.defvjp(_ell_fwd, _ell_bwd)
 
 def _ell_spmm_honly_impl(slots_col, tail_row, tail_col, t_slots_col, t_tail_row,
                          t_tail_col, num_rows, num_cols,
-                         slots_val, tail_val, t_slots_val, t_tail_val, h):
+                         slots_val, tail_val, t_slots_val, t_tail_val,
+                         diag_val, h):
     return _ell_matmul_raw(slots_col, slots_val, tail_row, tail_col, tail_val,
-                           h, num_rows)
+                           h, num_rows, diag_val)
 
 
 _ell_spmm_honly = jax.custom_vjp(_ell_spmm_honly_impl, nondiff_argnums=(6, 7))
@@ -175,17 +195,20 @@ _ell_spmm_honly = jax.custom_vjp(_ell_spmm_honly_impl, nondiff_argnums=(6, 7))
 
 def _ell_honly_fwd(slots_col, tail_row, tail_col, t_slots_col, t_tail_row,
                    t_tail_col, num_rows, num_cols,
-                   slots_val, tail_val, t_slots_val, t_tail_val, h):
+                   slots_val, tail_val, t_slots_val, t_tail_val, diag_val, h):
     out = _ell_matmul_raw(slots_col, slots_val, tail_row, tail_col, tail_val,
-                          h, num_rows)
-    return out, (t_slots_col, t_tail_row, t_tail_col, t_slots_val, t_tail_val)
+                          h, num_rows, diag_val)
+    return out, (t_slots_col, t_tail_row, t_tail_col, t_slots_val, t_tail_val,
+                 diag_val)
 
 
 def _ell_honly_bwd(num_rows, num_cols, residuals, dy):
-    t_slots_col, t_tail_row, t_tail_col, t_slots_val, t_tail_val = residuals
+    (t_slots_col, t_tail_row, t_tail_col, t_slots_val, t_tail_val,
+     diag_val) = residuals
     dh = _ell_matmul_raw(t_slots_col, t_slots_val, t_tail_row, t_tail_col,
-                         t_tail_val, dy, num_cols)
-    return (None, None, None, None, None, None, None, None, None, None, dh)
+                         t_tail_val, dy, num_cols, diag_val)
+    return (None, None, None, None, None, None, None, None, None, None,
+            None, dh)
 
 
 _ell_spmm_honly.defvjp(_ell_honly_fwd, _ell_honly_bwd)
@@ -291,6 +314,9 @@ def ell_spmm_multihead(ell: "EllAdj", edge_att, v, d_head: int):
     edge_att: [E, H] per-edge per-head weights (post-softmax);
     v: [N, H·d_head] head-blocked values. Returns [num_rows, H·d_head].
     """
+    if ell.diag_val.shape[0]:
+        raise ValueError("multihead aggregation requires an EllAdj built "
+                         "without split_diag (self-loops must stay packed)")
     return _mh_vjp(ell.slots_col, ell.slot_eid, ell.tail_row, ell.tail_col,
                    ell.tail_eid, ell.t_slots_col, ell.t_slot_eid,
                    ell.t_tail_row, ell.t_tail_col, ell.t_tail_eid,
@@ -317,7 +343,8 @@ def ell_spmm(ell: "EllAdj", h, diff_values: bool = False, compute_dtype=None):
         ell.slots_col, ell.tail_row, ell.tail_col,
         ell.t_slots_col, ell.t_tail_row, ell.t_tail_col,
         ell.shape[0], ell.shape[1],
-        ell.slots_val, ell.tail_val, ell.t_slots_val, ell.t_tail_val, h)
+        ell.slots_val, ell.tail_val, ell.t_slots_val, ell.t_tail_val,
+        ell.diag_val, h)
     if cd is not None and orig_dtype != cd:
         out = out.astype(orig_dtype)
     return out
@@ -335,15 +362,19 @@ class EllAdj:
     __slots__ = ("slots_col", "slots_val", "tail_row", "tail_col", "tail_val",
                  "t_slots_col", "t_slots_val", "t_tail_row", "t_tail_col",
                  "t_tail_val", "slot_eid", "tail_eid", "t_slot_eid",
-                 "t_tail_eid", "_shape", "_num_edges")
+                 "t_tail_eid", "diag_val", "diag_eid", "_shape", "_num_edges")
 
     _LEAVES = ("slots_col", "slots_val", "tail_row", "tail_col", "tail_val",
                "t_slots_col", "t_slots_val", "t_tail_row", "t_tail_col",
-               "t_tail_val", "slot_eid", "tail_eid", "t_slot_eid", "t_tail_eid")
+               "t_tail_val", "slot_eid", "tail_eid", "t_slot_eid", "t_tail_eid",
+               "diag_val", "diag_eid")
 
     def __init__(self, **kw):
         for name in self._LEAVES:
             setattr(self, name, kw.get(name))
+        if self.diag_val is None:  # no split diagonal: zero-length arrays
+            self.diag_val = jnp.zeros((0,), jnp.float32)
+            self.diag_eid = jnp.zeros((0,), jnp.int32)
         self._shape = tuple(kw["shape"])
         self._num_edges = kw.get("num_edges")
 
@@ -368,12 +399,20 @@ class EllAdj:
         return self._num_edges
 
     @classmethod
-    def from_coo(cls, index, value, shape, k: Optional[int] = None) -> "EllAdj":
+    def from_coo(cls, index, value, shape, k: Optional[int] = None,
+                 split_diag: bool = False) -> "EllAdj":
         """Host-side build from concrete COO arrays (eager only).
 
         ``slot_eid`` maps refer to positions in the **original** (unfiltered)
         edge array, so per-step values indexed like the input edge list slot
         straight in via :meth:`with_edge_values`.
+
+        ``split_diag`` (square matrices only) pulls self-loop edges out of
+        the packed layout into a dense ``diag_val [N]`` applied as an
+        elementwise multiply-add — saves their gather transactions entirely
+        (normalized GCN adjacencies are ~13% self-loops). Used by the GCN
+        normalization cache; the GAT layout keeps self-loops packed because
+        attention needs their scores inside the softmax.
         """
         index = convert_union_to_numpy(index, np.int64)
         value = convert_union_to_numpy(value, np.float32)
@@ -384,6 +423,23 @@ class EllAdj:
         # drop out-of-range (padded) edges before packing
         ok = ((index[0] >= 0) & (index[0] < num_rows)
               & (index[1] >= 0) & (index[1] < num_cols))
+        diag_val = diag_eid = None
+        if split_diag:
+            if num_rows != num_cols:
+                raise ValueError("split_diag requires a square matrix")
+            # split exactly ONE diagonal entry per row (the first); duplicate
+            # self-loops stay packed so with_edge_values re-skins exactly
+            d_idx = np.nonzero(ok & (index[0] == index[1]))[0]
+            d_rows = index[0][d_idx].astype(np.int64)
+            uniq_rows, first_pos = np.unique(d_rows, return_index=True)
+            chosen = d_idx[first_pos]
+            dv = np.zeros(num_rows, np.float32)
+            de = np.full(num_rows, num_edges, np.int64)
+            dv[uniq_rows] = value[chosen]
+            de[uniq_rows] = chosen
+            diag_val, diag_eid = jnp.asarray(dv), jnp.asarray(de, jnp.int32)
+            ok = ok.copy()
+            ok[chosen] = False
         rows, cols, vals = index[0][ok], index[1][ok], value[ok]
         eids = np.nonzero(ok)[0].astype(np.int64)
         if k is None:
@@ -402,6 +458,7 @@ class EllAdj:
                    t_tail_val=jnp.asarray(ttv),
                    slot_eid=jnp.asarray(se), tail_eid=jnp.asarray(te),
                    t_slot_eid=jnp.asarray(tse), t_tail_eid=jnp.asarray(tte),
+                   diag_val=diag_val, diag_eid=diag_eid,
                    shape=(num_rows, num_cols), num_edges=num_edges)
 
     def with_edge_values(self, edge_values) -> "EllAdj":
@@ -423,6 +480,9 @@ class EllAdj:
                   t_slots_val=pick(self.t_slot_eid),
                   t_tail_val=pick(self.t_tail_eid),
                   shape=self._shape, num_edges=E)
+        if self.diag_val.shape[0]:
+            # one self-loop per row assumed (true for normalized adjacencies)
+            kw.update(diag_val=pick(self.diag_eid))
         return EllAdj(**kw)
 
     # -- SparseMatrix-compatible surface -------------------------------------
