@@ -85,16 +85,93 @@ def main():
                                   indices_are_sorted=True)
         return V + 1e-9 * out, a_tail
 
-    def edge_order(a_slots, a_tail):
-        e = ea._edge_order(a_slots, a_tail, layout.eid_pos)
-        return a_slots + 1e-9 * jnp.zeros_like(a_slots), a_tail + 1e-9 * e.sum() * 0
+    timed("fwd: slot scores (K gathers of K-mat)", scores, (Q0, K0))
+    timed("fwd: tail scores (2 gathers [T,256])", tail_scores, (Q0, K0))
+    timed("fwd: softmax slots+tail", softmax, (aslots0, 0.0))
+    timed("fwd: agg slots only", agg_slots, (V0, aslots0))
+    timed("fwd: agg tail only (gather+segsum)", agg_tail, (V0, atail0))
 
-    timed("slot scores (K gathers of K-mat)", scores, (Q0, K0))
-    timed("tail scores (2 gathers [T,256])", tail_scores, (Q0, K0))
-    timed("softmax slots+tail", softmax, (aslots0, 0.0))
-    timed("agg slots only", agg_slots, (V0, aslots0))
-    timed("agg tail only (gather+segsum)", agg_tail, (V0, atail0))
-    timed("edge-order gather", edge_order, (aslots0, atail0))
+    # ---- backward phases (mirror _fused_bwd's pass structure) ----
+    dy0 = jnp.asarray(rng.normal(size=(N, UNITS)), jnp.float32)
+    zero_row = N * Kslots + T
+    w_flat0 = jnp.asarray(rng.normal(size=(zero_row + 1, 2 * HEADS)),
+                          jnp.float32)
+
+    def bwd_da_slots(dy, V):
+        def body(k, da):
+            col_k = jax.lax.dynamic_index_in_dim(ell.slots_col, k, 1, False)
+            v = jnp.take(V, jnp.clip(col_k, 0, N - 1), axis=0)
+            da_k = (dy * v).reshape(N, HEADS, D).sum(-1)
+            return jax.lax.dynamic_update_index_in_dim(da, da_k, k, 1)
+        da = jax.lax.fori_loop(0, Kslots, body,
+                               jnp.zeros((N, Kslots, HEADS), jnp.float32))
+        return dy + 1e-9 * da.sum(1).repeat(D, -1), V
+
+    def bwd_softmax(a_slots, a_tail):
+        g = (a_slots * a_slots).sum(axis=1)
+        g = g + jax.ops.segment_sum(a_tail * a_tail, ell.tail_row,
+                                    num_segments=N, indices_are_sorted=True)
+        ds = a_slots * (a_slots - g[:, None, :])
+        return a_slots + 1e-9 * ds, a_tail
+
+    def bwd_dq_slots(K, ds_like):
+        def body(k, dq):
+            col_k = jax.lax.dynamic_index_in_dim(ell.slots_col, k, 1, False)
+            krows = jnp.take(K, jnp.clip(col_k, 0, N - 1), axis=0)
+            ds_k = jax.lax.dynamic_index_in_dim(ds_like, k, 1, False)
+            return dq + krows * jnp.repeat(ds_k, D, -1)
+        dq = jax.lax.fori_loop(0, Kslots, body, jnp.zeros_like(K))
+        return K + 1e-9 * dq, ds_like
+
+    def bwd_transpose(dy, w_flat):
+        TK = ell.t_slots_col.shape[1]
+        def body(k, carry):
+            dV, dK = carry
+            col_k = jax.lax.dynamic_index_in_dim(ell.t_slots_col, k, 1, False)
+            pos_k = jax.lax.dynamic_index_in_dim(layout.t_slot_pos, k, 1, False)
+            w = jnp.take(w_flat, jnp.clip(pos_k, 0, zero_row), axis=0)
+            safe = jnp.clip(col_k, 0, N - 1)
+            dyr = jnp.take(dy, safe, axis=0)
+            qr = jnp.take(Q0, safe, axis=0)
+            dV = dV + dyr * jnp.repeat(w[:, :HEADS], D, -1)
+            dK = dK + qr * jnp.repeat(w[:, HEADS:], D, -1)
+            return dV, dK
+        dV, dK = jax.lax.fori_loop(0, TK, body,
+                                   (jnp.zeros((N, UNITS)), jnp.zeros((N, UNITS))))
+        return dy + 1e-9 * (dV + dK), w_flat
+
+    def bwd_transpose_tail(dy, w_flat):
+        w = jnp.take(w_flat, jnp.clip(layout.t_tail_pos, 0, zero_row), axis=0)
+        safe = jnp.clip(ell.t_tail_col, 0, N - 1)
+        dyr = jnp.take(dy, safe, axis=0)
+        qr = jnp.take(Q0, safe, axis=0)
+        msg = jnp.concatenate([dyr * jnp.repeat(w[:, :HEADS], D, -1),
+                               qr * jnp.repeat(w[:, HEADS:], D, -1)], axis=-1)
+        seg = jax.ops.segment_sum(msg, ell.t_tail_row, num_segments=N,
+                                  indices_are_sorted=True)
+        return dy + 1e-9 * (seg[:, :UNITS] + seg[:, UNITS:]), w_flat
+
+    timed("bwd: da slots (K gathers of V)", bwd_da_slots, (dy0, V0))
+    timed("bwd: softmax backward", bwd_softmax, (aslots0, atail0))
+    timed("bwd: dQ slots (K gathers of K-mat)", bwd_dq_slots, (K0, aslots0))
+    timed("bwd: transpose pass (dy+Q+w gathers)", bwd_transpose, (dy0, w_flat0))
+    timed("bwd: transpose tail", bwd_transpose_tail, (dy0, w_flat0))
+
+    # ---- whole-op split: fwd-only vs fwd+bwd ----
+    from tf_geometric_tpu.ops.ell_attention import gat_attention_ell
+
+    def whole_fwd(Q, K, V):
+        out = gat_attention_ell(layout, Q, K, V, HEADS)
+        return Q + 1e-9 * out, K, V
+
+    def whole_fwd_bwd(Q, K, V):
+        def f(q, k, v):
+            return (gat_attention_ell(layout, q, k, v, HEADS) ** 2).sum()
+        dq, dk, dv = jax.grad(f, argnums=(0, 1, 2))(Q, K, V)
+        return Q + 1e-9 * dq, K + 1e-9 * dk, V + 1e-9 * dv
+
+    timed("whole op: forward only", whole_fwd, (Q0, K0, V0))
+    timed("whole op: forward+backward", whole_fwd_bwd, (Q0, K0, V0))
 
 
 if __name__ == "__main__":
