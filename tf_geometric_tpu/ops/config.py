@@ -17,3 +17,18 @@ ell_compute_dtype = None
 def set_ell_compute_dtype(dtype) -> None:
     global ell_compute_dtype
     ell_compute_dtype = dtype
+
+
+# Unroll the fused-GAT transpose pass (dV/dK) instead of lax.fori_loop.
+# Unrolling lets XLA fuse all K slot iterations into one fusion so the two
+# [N, F] accumulators are written once instead of round-tripping HBM every
+# iteration: measured 63.0 -> 40.8 ms (fp32, arxiv scale) on the single
+# biggest phase of the GAT backward (benchmarks/transpose_variants.py).
+# Cost: a much larger HLO -> a long one-time compile through the remote
+# compile service (amortized by the persistent compilation cache).
+ell_attention_unroll_transpose = True
+
+
+def set_ell_attention_unroll_transpose(flag: bool) -> None:
+    global ell_attention_unroll_transpose
+    ell_attention_unroll_transpose = flag

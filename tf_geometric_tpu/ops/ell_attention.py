@@ -303,9 +303,18 @@ def _fused_bwd(num_rows, num_edges, H, d, residuals, dy):
         dK = dK + qr * _expand(w[:, H:], d).astype(Q.dtype)
         return dV, dK
 
-    dV, dK = jax.lax.fori_loop(
-        0, TKslots, body_t,
-        (jnp.zeros((n_src, dy.shape[1]), dy.dtype), jnp.zeros_like(K)))
+    carry = (jnp.zeros((n_src, dy.shape[1]), dy.dtype), jnp.zeros_like(K))
+    from . import config as _config
+    if _config.ell_attention_unroll_transpose:
+        # unrolled: XLA fuses all K iterations — the two [N, F] accumulators
+        # are written once instead of streaming HBM per slot (63.0 → 40.8 ms
+        # measured, benchmarks/transpose_variants.py); big-HLO compile cost
+        # is one-time via the persistent compilation cache
+        for k in range(TKslots):
+            carry = body_t(k, carry)
+        dV, dK = carry
+    else:
+        dV, dK = jax.lax.fori_loop(0, TKslots, body_t, carry)
     if t_tail_row.shape[0]:
         w = jnp.take(w_flat, jnp.clip(t_tail_pos, 0, zero_row), axis=0)
         safe = jnp.clip(t_tail_col, 0, N - 1)
