@@ -32,3 +32,14 @@ ell_attention_unroll_transpose = True
 def set_ell_attention_unroll_transpose(flag: bool) -> None:
     global ell_attention_unroll_transpose
     ell_attention_unroll_transpose = flag
+
+
+# Unroll ALL K-slot loops in the fused attention kernel (scores, aggregate,
+# da, dQ) in addition to the transpose pass. Larger HLO still; same
+# accumulator-fusion rationale.
+ell_attention_unroll_all = True
+
+
+def set_ell_attention_unroll_all(flag: bool) -> None:
+    global ell_attention_unroll_all
+    ell_attention_unroll_all = flag
