@@ -97,8 +97,17 @@ def main():
 
     # graph data ride as jit ARGUMENTS (device arrays) — closure constants
     # would be inlined into the HLO and shipped to the remote compiler
+    dense_bf16 = os.environ.get("BENCH_DENSE_BF16", "1") == "1"
+
     def loss_fn(p, adj_, px_, x_, y_):
-        h = jax.nn.relu(px_ @ p["w0"] + p["b0"])
+        if dense_bf16:
+            # bf16 MXU for the wide encoder matmul (weights stay f32 master
+            # copies; SpMM already runs the bf16 compute policy)
+            h = jax.nn.relu((px_.astype(jnp.bfloat16)
+                             @ p["w0"].astype(jnp.bfloat16)).astype(jnp.float32)
+                            + p["b0"])
+        else:
+            h = jax.nn.relu(px_ @ p["w0"] + p["b0"])
         logits = adj_.matmul(h @ p["w1"]) + p["b1"]
         return optax.softmax_cross_entropy_with_integer_labels(logits, y_).mean()
 
