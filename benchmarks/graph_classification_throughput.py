@@ -40,7 +40,9 @@ def main():
     from tf_geometric_tpu.utils.profiling import measure_step_time
 
     graphs, num_classes = load_graph_classification_data("NCI1", seed=0)
-    gen = padded_batch_generator(graphs, BATCH, seed=0)
+    # shuffle=False so the first batch is graphs[:BATCH] and the labels below
+    # correspond to the graphs actually in the batch
+    gen = padded_batch_generator(graphs, BATCH, shuffle=False, seed=0)
     batch, real = next(gen)
     num_nodes = batch.x.shape[0]
     num_edges = batch.edge_index.shape[1]

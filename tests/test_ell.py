@@ -238,3 +238,30 @@ def test_ell_split_diag_with_edge_values(rng):
     dense = dense_adj(ei, new_vals, 15)
     np.testing.assert_allclose(np.asarray(reskinned @ jnp.asarray(x)),
                                dense @ x, rtol=1e-3, atol=1e-3)
+
+
+def test_ell_zero_valued_edge_keeps_gradient(rng):
+    # a real edge whose current value is 0 must still receive a value
+    # cotangent (eid-mask, not value!=0): zero-initialized learned edge
+    # weights could otherwise never leave 0
+    x, ei, ew = random_graph(rng, 12, 40, 3)
+    loops = np.arange(12, dtype=np.int32)
+    ei = np.concatenate([ei, np.stack([loops, loops])], axis=1)
+    ew = np.concatenate([ew, np.ones(12, np.float32)])
+    ell = EllAdj.from_coo(ei, ew, (12, 12), split_diag=True)
+
+    def loss(vals):
+        return (ell_spmm(ell.with_edge_values(vals), jnp.asarray(x),
+                         diff_values=True) ** 2).sum()
+
+    # values with the DIAGONAL entries exactly 0: the old value!=0 mask
+    # silently zeroed their grads; the eid mask must keep them
+    vals = np.full(ei.shape[1], 0.5, np.float32)
+    vals[40:] = 0.0  # the 12 appended self-loops
+    g = np.asarray(jax.grad(loss)(jnp.asarray(vals)))
+    dense = dense_adj(ei, vals, 12)
+    out = dense @ x
+    # dL/dA_ii = 2 * (out_i . x_i) — generally nonzero despite A_ii == 0
+    for i in range(12):
+        expected = 2.0 * float(out[i] @ x[i])
+        np.testing.assert_allclose(g[40 + i], expected, rtol=1e-3, atol=1e-3)

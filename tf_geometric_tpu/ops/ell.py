@@ -116,30 +116,33 @@ def _ell_matmul_raw(slots_col, slots_val, tail_row, tail_col, tail_val,
     return out
 
 
-# custom VJP: nondiff args = int index arrays + static num_rows; transpose
-# arrays are residual inputs used only in backward.
+# custom VJP: nondiff args = static sizes; index/eid arrays are ordinary
+# array args with None cotangents; transpose arrays are residual inputs used
+# only in backward.
 def _ell_spmm_impl(slots_col, tail_row, tail_col, t_slots_col, t_tail_row,
-                   t_tail_col, num_rows, num_cols,
+                   t_tail_col, slot_eid, tail_eid, diag_eid,
+                   num_rows, num_cols, num_edges,
                    slots_val, tail_val, t_slots_val, t_tail_val, diag_val, h):
     return _ell_matmul_raw(slots_col, slots_val, tail_row, tail_col, tail_val,
                            h, num_rows, diag_val)
 
 
-_ell_spmm_vjp = jax.custom_vjp(_ell_spmm_impl, nondiff_argnums=(6, 7))
+_ell_spmm_vjp = jax.custom_vjp(_ell_spmm_impl, nondiff_argnums=(9, 10, 11))
 
 
 def _ell_fwd(slots_col, tail_row, tail_col, t_slots_col, t_tail_row, t_tail_col,
-             num_rows, num_cols, slots_val, tail_val, t_slots_val, t_tail_val,
-             diag_val, h):
+             slot_eid, tail_eid, diag_eid, num_rows, num_cols, num_edges,
+             slots_val, tail_val, t_slots_val, t_tail_val, diag_val, h):
     out = _ell_matmul_raw(slots_col, slots_val, tail_row, tail_col, tail_val,
                           h, num_rows, diag_val)
     return out, (slots_col, tail_row, tail_col, t_slots_col, t_tail_row,
-                 t_tail_col, slots_val, tail_val, t_slots_val, t_tail_val,
-                 diag_val, h)
+                 t_tail_col, slot_eid, tail_eid, diag_eid,
+                 slots_val, tail_val, t_slots_val, t_tail_val, diag_val, h)
 
 
-def _ell_bwd(num_rows, num_cols, residuals, dy):
+def _ell_bwd(num_rows, num_cols, num_edges, residuals, dy):
     (slots_col, tail_row, tail_col, t_slots_col, t_tail_row, t_tail_col,
+     slot_eid, tail_eid, diag_eid,
      slots_val, tail_val, t_slots_val, t_tail_val, diag_val, h) = residuals
     # dh = Aᵀ dy via the transpose ELL (scatter-free again); the diagonal of
     # Aᵀ is the same diag_val
@@ -151,25 +154,26 @@ def _ell_bwd(num_rows, num_cols, residuals, dy):
         jnp.sum(dy * jnp.take(h, jnp.clip(slots_col[:, k], 0, n_src - 1), axis=0),
                 axis=-1)
         for k in range(slots_col.shape[1])], axis=1).astype(slots_val.dtype)
-    # padded slots (val 0, col 0) get spurious grads; zero them via the mask
-    d_slots_val = jnp.where(slots_val != 0, d_slots_val, 0.0)
+    # padded slots get spurious grads; the eid maps are the exact mask (a
+    # real edge whose current value happens to be 0 keeps its gradient)
+    d_slots_val = jnp.where(slot_eid < num_edges, d_slots_val, 0.0)
     if tail_row.shape[0]:
         safe_tr = jnp.clip(tail_row, 0, num_rows - 1)
         d_tail_val = jnp.sum(
             jnp.take(dy, safe_tr, axis=0)
             * jnp.take(h, jnp.clip(tail_col, 0, n_src - 1), axis=0), axis=-1)
-        d_tail_val = jnp.where((tail_row >= 0) & (tail_row < num_rows),
+        d_tail_val = jnp.where(tail_eid < num_edges,
                                d_tail_val, 0.0).astype(tail_val.dtype)
     else:
         d_tail_val = jnp.zeros_like(tail_val)
     if diag_val.shape[0]:
         d_diag_val = jnp.sum(dy * h, axis=-1).astype(diag_val.dtype)
-        # rows without a real self-loop hold value 0 (same mask rule as slots)
-        d_diag_val = jnp.where(diag_val != 0, d_diag_val, 0.0)
+        d_diag_val = jnp.where(diag_eid < num_edges, d_diag_val, 0.0)
     else:
         d_diag_val = jnp.zeros_like(diag_val)
-    # index arrays: no cotangents; transpose values mirror the primal values
-    return (None, None, None, None, None, None, d_slots_val, d_tail_val,
+    # index/eid arrays: no cotangents; transpose values mirror primal values
+    return (None, None, None, None, None, None, None, None, None,
+            d_slots_val, d_tail_val,
             jnp.zeros_like(t_slots_val), jnp.zeros_like(t_tail_val),
             d_diag_val, dh)
 
@@ -338,13 +342,29 @@ def ell_spmm(ell: "EllAdj", h, diff_values: bool = False, compute_dtype=None):
     orig_dtype = h.dtype
     if cd is not None and orig_dtype != cd:
         h = h.astype(cd)
-    fn = _ell_spmm_vjp if diff_values else _ell_spmm_honly
-    out = fn(
-        ell.slots_col, ell.tail_row, ell.tail_col,
-        ell.t_slots_col, ell.t_tail_row, ell.t_tail_col,
-        ell.shape[0], ell.shape[1],
-        ell.slots_val, ell.tail_val, ell.t_slots_val, ell.t_tail_val,
-        ell.diag_val, h)
+    if diff_values:
+        if ell.slot_eid is not None and ell.num_edges is not None:
+            slot_eid, tail_eid, num_edges = ell.slot_eid, ell.tail_eid, ell.num_edges
+            diag_eid = ell.diag_eid
+        else:  # eid-less hand-built layout: value != 0 approximates validity
+            num_edges = 1
+            slot_eid = jnp.where(ell.slots_val != 0, 0, 1).astype(jnp.int32)
+            tail_eid = jnp.where(ell.tail_val != 0, 0, 1).astype(jnp.int32)
+            diag_eid = jnp.where(ell.diag_val != 0, 0, 1).astype(jnp.int32)
+        out = _ell_spmm_vjp(
+            ell.slots_col, ell.tail_row, ell.tail_col,
+            ell.t_slots_col, ell.t_tail_row, ell.t_tail_col,
+            slot_eid, tail_eid, diag_eid,
+            ell.shape[0], ell.shape[1], num_edges,
+            ell.slots_val, ell.tail_val, ell.t_slots_val, ell.t_tail_val,
+            ell.diag_val, h)
+    else:
+        out = _ell_spmm_honly(
+            ell.slots_col, ell.tail_row, ell.tail_col,
+            ell.t_slots_col, ell.t_tail_row, ell.t_tail_col,
+            ell.shape[0], ell.shape[1],
+            ell.slots_val, ell.tail_val, ell.t_slots_val, ell.t_tail_val,
+            ell.diag_val, h)
     if cd is not None and orig_dtype != cd:
         out = out.astype(orig_dtype)
     return out
@@ -430,16 +450,19 @@ class EllAdj:
             # split exactly ONE diagonal entry per row (the first); duplicate
             # self-loops stay packed so with_edge_values re-skins exactly
             d_idx = np.nonzero(ok & (index[0] == index[1]))[0]
-            d_rows = index[0][d_idx].astype(np.int64)
-            uniq_rows, first_pos = np.unique(d_rows, return_index=True)
-            chosen = d_idx[first_pos]
-            dv = np.zeros(num_rows, np.float32)
-            de = np.full(num_rows, num_edges, np.int64)
-            dv[uniq_rows] = value[chosen]
-            de[uniq_rows] = chosen
-            diag_val, diag_eid = jnp.asarray(dv), jnp.asarray(de, jnp.int32)
-            ok = ok.copy()
-            ok[chosen] = False
+            if len(d_idx) == 0:
+                pass  # no diagonal entries: skip the dense diag pass entirely
+            else:
+                d_rows = index[0][d_idx].astype(np.int64)
+                uniq_rows, first_pos = np.unique(d_rows, return_index=True)
+                chosen = d_idx[first_pos]
+                dv = np.zeros(num_rows, np.float32)
+                de = np.full(num_rows, num_edges, np.int64)
+                dv[uniq_rows] = value[chosen]
+                de[uniq_rows] = chosen
+                diag_val, diag_eid = jnp.asarray(dv), jnp.asarray(de, jnp.int32)
+                ok = ok.copy()
+                ok[chosen] = False
         rows, cols, vals = index[0][ok], index[1][ok], value[ok]
         eids = np.nonzero(ok)[0].astype(np.int64)
         if k is None:

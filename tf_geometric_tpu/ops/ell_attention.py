@@ -34,16 +34,17 @@ from .ell import EllAdj
 __all__ = ["GatEllLayout", "build_gat_layout", "gat_attention_ell"]
 
 
-def _slot_loop(n_slots: int, body, init):
+def _slot_loop(n_slots: int, body, init, flag: str = "ell_attention_unroll_all"):
     """fori_loop or config-gated unroll over the K slot lanes.
 
     Unrolling lets XLA fuse the per-slot gathers and the accumulator adds
     into one fusion (accumulators written once instead of streaming HBM per
     iteration) — measured 63.0 → 40.8 ms on the transpose pass
     (benchmarks/transpose_variants.py); the larger-HLO compile cost is
-    one-time via the persistent compilation cache."""
+    one-time via the persistent compilation cache. ``flag`` names the
+    ops.config attribute gating the unroll."""
     from . import config as _config
-    if _config.ell_attention_unroll_all:
+    if getattr(_config, flag):
         carry = init
         for k in range(n_slots):
             carry = body(k, carry)
@@ -320,18 +321,10 @@ def _fused_bwd(num_rows, num_edges, H, d, residuals, dy):
         dK = dK + qr * _expand(w[:, H:], d).astype(Q.dtype)
         return dV, dK
 
-    carry = (jnp.zeros((n_src, dy.shape[1]), dy.dtype), jnp.zeros_like(K))
-    from . import config as _config
-    if _config.ell_attention_unroll_transpose:
-        # unrolled: XLA fuses all K iterations — the two [N, F] accumulators
-        # are written once instead of streaming HBM per slot (63.0 → 40.8 ms
-        # measured, benchmarks/transpose_variants.py); big-HLO compile cost
-        # is one-time via the persistent compilation cache
-        for k in range(TKslots):
-            carry = body_t(k, carry)
-        dV, dK = carry
-    else:
-        dV, dK = jax.lax.fori_loop(0, TKslots, body_t, carry)
+    dV, dK = _slot_loop(
+        TKslots, body_t,
+        (jnp.zeros((n_src, dy.shape[1]), dy.dtype), jnp.zeros_like(K)),
+        flag="ell_attention_unroll_transpose")
     if t_tail_row.shape[0]:
         w = jnp.take(w_flat, jnp.clip(t_tail_pos, 0, zero_row), axis=0)
         safe = jnp.clip(t_tail_col, 0, N - 1)
