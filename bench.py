@@ -24,18 +24,27 @@ import time
 import numpy as np
 
 
-def _tpu_responsive(timeout_s: int = 300) -> bool:
+def _tpu_responsive(timeout_s: int = 300, attempts: int = 3) -> bool:
     """Probe the TPU in a subprocess — the axon tunnel can wedge for many
     minutes after a killed client, and a hung op cannot be interrupted from
-    inside the process."""
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; print(float(jnp.arange(4).sum()))"],
-            timeout=timeout_s, capture_output=True)
-        return proc.returncode == 0 and b"6.0" in proc.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    inside the process. The tunnel recovers on its own, so retry a few
+    times (measured: a wedged window cleared within ~5 minutes) before
+    giving up and falling back to CPU."""
+    for attempt in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; print(float(jnp.arange(4).sum()))"],
+                timeout=timeout_s, capture_output=True)
+            if proc.returncode == 0 and b"6.0" in proc.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt + 1 < attempts:
+            print(f"TPU probe attempt {attempt + 1} failed — retrying",
+                  file=sys.stderr)
+            time.sleep(60)
+    return False
 
 
 def main():

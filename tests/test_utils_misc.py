@@ -1,0 +1,64 @@
+"""Tests for metrics, profiling, data_utils, and union_utils helpers."""
+import numpy as np
+import jax.numpy as jnp
+
+from tf_geometric_tpu.utils import metrics
+from tf_geometric_tpu.utils.profiling import estimate_spmm_roofline, measure_step_time
+from tf_geometric_tpu.utils.union_utils import convert_union_to_numpy, union_len
+
+
+def test_accuracy_and_masked():
+    preds = jnp.asarray([0, 1, 2, 2])
+    labels = jnp.asarray([0, 1, 1, 2])
+    assert abs(float(metrics.accuracy(preds, labels)) - 0.75) < 1e-6
+    mask = jnp.asarray([1.0, 1.0, 0.0, 1.0])
+    assert abs(float(metrics.masked_accuracy(preds, labels, mask)) - 1.0) < 1e-6
+
+
+def test_micro_f1_multilabel():
+    preds = jnp.asarray([[1, 0], [1, 1], [0, 0]])
+    labels = jnp.asarray([[1, 0], [0, 1], [0, 1]])
+    # tp=2, fp=1, fn=1 -> micro f1 = 2*2/(2*2+1+1) = 0.6667
+    assert abs(float(metrics.micro_f1(preds, labels)) - 2 / 3) < 1e-4
+
+
+def test_binary_auc_perfect_and_random():
+    labels = jnp.asarray([0, 0, 1, 1])
+    assert abs(float(metrics.binary_auc(jnp.asarray([.1, .2, .8, .9]), labels)) - 1.0) < 1e-6
+    assert abs(float(metrics.binary_auc(jnp.asarray([.9, .8, .2, .1]), labels)) - 0.0) < 1e-6
+
+
+def test_accumulator():
+    acc = metrics.Accumulator()
+    acc.update(1.0, weight=1.0)
+    acc.update(3.0, weight=3.0)
+    assert abs(acc.result() - 2.5) < 1e-6
+    acc.reset()
+    assert acc.result() == 0.0
+
+
+def test_roofline_monotonic():
+    # more features per row -> more bytes -> fewer edges/sec
+    lo = estimate_spmm_roofline(1000, 100, 256)
+    hi = estimate_spmm_roofline(1000, 100, 32)
+    assert hi > lo > 0
+
+
+def test_measure_step_time_chains():
+    calls = []
+
+    def step(x):
+        calls.append(1)
+        return (x + 1,)
+
+    t = measure_step_time(step, (jnp.zeros(4),), lo=2, hi=4)
+    assert isinstance(t, float)  # slope fit can be ~0 (even <0 noise) here
+    assert len(calls) == 2 + 2 + 4  # warmup + lo + hi
+
+
+def test_union_utils():
+    assert union_len([1, 2, 3]) == 3
+    assert union_len(np.zeros((5, 2))) == 5
+    out = convert_union_to_numpy(jnp.asarray([1, 2]), np.float32)
+    assert out.dtype == np.float32
+    assert convert_union_to_numpy(None) is None
