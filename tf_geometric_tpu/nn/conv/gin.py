@@ -13,6 +13,7 @@ def gin_updater(x, reduced_neighbor_msg, eps):
 
 
 def gin(x, edge_index, mlp_model, eps: float = 0.0, training=None):
+    """GIN forward (reference nn/conv/gin.py:31-38): h = MLP((1+ε)·x + A@x)."""
     num_nodes = x.shape[0]
     sparse_adj = SparseMatrix(edge_index, None, (num_nodes, num_nodes))
     neighbor_h = sparse_adj @ x

@@ -19,6 +19,8 @@ def le_conv(x, edge_index, edge_weight,
             self_kernel, self_bias,
             aggr_self_kernel, aggr_self_bias,
             aggr_neighbor_kernel, aggr_neighbor_bias, activation=None):
+    """LEConv forward (reference nn/conv/le_conv.py:40-47): self_h +
+    Σ_j w_ij·(aggr_self_h_j − aggr_neighbor_h_j), the ASAP scoring conv."""
     num_nodes = x.shape[0]
     if edge_weight is None:
         edge_weight = jnp.ones((edge_index.shape[1],), jnp.float32)

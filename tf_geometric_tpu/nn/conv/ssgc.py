@@ -17,6 +17,8 @@ def ssgc(x, edge_index, edge_weight, kernels=None, biases=None,
          dense_drop_rate: float = 0.0, last_dense_drop_rate: float = 0.0,
          edge_drop_rate: float = 0.0, cache=None, training: bool = False,
          dropout_key=None):
+    """SSGC / S²GC forward (reference nn/conv/ssgc.py:89-94): MLP encoder
+    then out = α·h + Σ_k (1−α)/k · Â^k h."""
     num_nodes = x.shape[0]
     normed_adj = gcn_norm_adj(
         SparseMatrix(edge_index, edge_weight, (num_nodes, num_nodes)), cache=cache)

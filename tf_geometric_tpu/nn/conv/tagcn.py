@@ -12,6 +12,8 @@ __all__ = ["tagcn"]
 
 def tagcn(x, edge_index, edge_weight, k: int, kernel, bias=None, activation=None,
           renorm: bool = False, improved: bool = False, cache=None):
+    """TAGCN forward (reference nn/conv/tagcn.py:37-44): concat
+    [x, Âx, …, Â^k x] then a single kernel; default renorm=False."""
     num_nodes = x.shape[0]
     normed_adj = gcn_norm_adj(
         SparseMatrix(edge_index, edge_weight, (num_nodes, num_nodes)),

@@ -58,18 +58,22 @@ def gcn_mapper(repeated_x, neighbor_x, edge_weight=None):
 # ---------------------------------------------------------------------------
 
 def sum_reducer(neighbor_msg, node_index, num_nodes: int):
+    """Per-destination segment sum (reference map_reduce.py:19-21)."""
     return segment_sum(neighbor_msg, node_index, num_nodes)
 
 
 def mean_reducer(neighbor_msg, node_index, num_nodes: int):
+    """Per-destination segment mean (reference map_reduce.py:24-26)."""
     return segment_mean(neighbor_msg, node_index, num_nodes)
 
 
 def max_reducer(neighbor_msg, node_index, num_nodes: int):
+    """Per-destination segment max, zero-filled (reference map_reduce.py:29-36)."""
     return segment_max(neighbor_msg, node_index, num_nodes)
 
 
 def min_reducer(neighbor_msg, node_index, num_nodes: int):
+    """Per-destination segment min, zero-filled (reference map_reduce.py:29-42)."""
     return segment_min(neighbor_msg, node_index, num_nodes)
 
 
@@ -78,10 +82,12 @@ def min_reducer(neighbor_msg, node_index, num_nodes: int):
 # ---------------------------------------------------------------------------
 
 def identity_updater(x, reduced_neighbor_msg):
+    """Return the reduced messages unchanged (reference map_reduce.py:45-46)."""
     return reduced_neighbor_msg
 
 
 def sum_updater(x, reduced_neighbor_msg):
+    """x + reduced messages (reference map_reduce.py:49-50)."""
     return x + reduced_neighbor_msg
 
 

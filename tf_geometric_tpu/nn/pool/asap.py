@@ -38,6 +38,9 @@ def asap(x, edge_index, edge_weight, node_graph_index,
          le_conv_activation=jax.nn.sigmoid,
          drop_rate: float = 0.0, training=None, cache=None, dropout_key=None,
          num_graphs: Optional[int] = None):
+    """ASAP pooling (reference nn/pool/asap.py:54-127): GCN cluster
+    features, LeConv node scores, attention over (max-query ‖ member), top-k
+    clusters, cluster_pool coarsening with self-loop fixup."""
     num_nodes = x.shape[0]
 
     fixed_mode = k is not None and num_graphs is not None

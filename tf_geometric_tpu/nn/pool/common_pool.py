@@ -28,15 +28,18 @@ def mean_pool(x, node_graph_index, num_graphs=None):
 
 
 def sum_pool(x, node_graph_index, num_graphs=None):
+    """Whole-graph sum readout (reference nn/pool/common_pool.py:30-33)."""
     num_graphs = _resolve_num_graphs(node_graph_index, num_graphs)
     return segment_sum(x, node_graph_index, num_graphs)
 
 
 def max_pool(x, node_graph_index, num_graphs=None):
+    """Whole-graph max readout (reference nn/pool/common_pool.py:36-45)."""
     num_graphs = _resolve_num_graphs(node_graph_index, num_graphs)
     return segment_max(x, node_graph_index, num_graphs)
 
 
 def min_pool(x, node_graph_index, num_graphs=None):
+    """Whole-graph min readout (reference nn/pool/common_pool.py:48-52)."""
     num_graphs = _resolve_num_graphs(node_graph_index, num_graphs)
     return segment_min(x, node_graph_index, num_graphs)

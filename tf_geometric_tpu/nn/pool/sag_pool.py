@@ -32,6 +32,8 @@ def sag_pool(x, edge_index, edge_weight, node_graph_index,
              score_gnn: Callable, k: Optional[int] = None,
              ratio: Optional[float] = None, score_activation=None,
              training=None, cache=None, num_graphs: Optional[int] = None):
+    """SAGPool (reference nn/pool/sag_pool.py:27-45): score_gnn → top-k →
+    scale x by activated score → node-induced subgraph."""
     kwargs = {} if cache is None else {"cache": cache}
     node_score = score_gnn([x, edge_index, edge_weight], training=training, **kwargs)
 

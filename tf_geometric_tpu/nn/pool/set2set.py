@@ -20,6 +20,8 @@ __all__ = ["set2set"]
 
 def set2set(x, node_graph_index, lstm: Callable, num_iterations: int,
             training=None, num_graphs: Optional[int] = None):
+    """Set2Set readout (reference nn/pool/set2set.py:8-42): LSTM + content
+    attention for num_iterations; output [num_graphs, 2F]."""
     node_graph_index = jnp.asarray(node_graph_index)
     if num_graphs is None:
         num_graphs = int(jax.device_get(jnp.max(node_graph_index))) + 1
