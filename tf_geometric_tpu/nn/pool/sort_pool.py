@@ -17,6 +17,8 @@ def sort_pool(x, edge_index, edge_weight, node_graph_index,
               k: Optional[int] = None, ratio: Optional[float] = None,
               sort_index: int = -1, training=None,
               num_graphs: Optional[int] = None):
+    """SortPool (reference nn/pool/sort_pool.py:25-36): score = x[:, sort_index],
+    per-graph top-k, node-induced subgraph; fixed-k path is jit/grad-safe."""
     score = x[:, sort_index]
     if k is not None:
         if num_graphs is None:
