@@ -139,3 +139,72 @@ def test_gat_op_uses_fused_path(rng):
     assert isinstance(layout, GatEllLayout)
     np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_cached),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_attention_split_diag_matches_oracle(rng):
+    """The dense diag lane (split self-loops) must match the packed layout
+    exactly — forward and grads — including a hub row with a tail."""
+    n, H, d = 22, 2, 4
+    ei, Q, K, V = _skewed_graph(rng, n, H, d)
+    loops = np.arange(n, dtype=np.int32)
+    ei = np.concatenate([ei, np.stack([loops, loops])], axis=1)
+    order = np.argsort(ei[0], kind="stable")
+    ei = ei[:, order]
+    ones = np.ones(ei.shape[1], np.float32)
+
+    packed = build_gat_layout(EllAdj.from_coo(ei, ones, (n, n)))
+    split = build_gat_layout(EllAdj.from_coo(ei, ones, (n, n),
+                                             split_diag=True))
+    assert split.ell.diag_eid.shape[0] == n
+    args = (jnp.asarray(Q), jnp.asarray(K), jnp.asarray(V))
+    out_packed = gat_attention_ell(packed, *args, H)
+    out_split = gat_attention_ell(split, *args, H)
+    np.testing.assert_allclose(np.asarray(out_split), np.asarray(out_packed),
+                               rtol=1e-4, atol=1e-4)
+    expected = _oracle_attention(ei, Q, K, V, H, d)
+    np.testing.assert_allclose(np.asarray(out_split), expected,
+                               rtol=1e-4, atol=1e-4)
+
+    dy = rng.normal(size=(n, H * d)).astype(np.float32)
+
+    def loss(layout, q, k, v):
+        return jnp.sum(gat_attention_ell(layout, q, k, v, H) * dy)
+
+    g_split = jax.grad(lambda q, k, v: loss(split, q, k, v),
+                       argnums=(0, 1, 2))(*args)
+    g_packed = jax.grad(lambda q, k, v: loss(packed, q, k, v),
+                        argnums=(0, 1, 2))(*args)
+    for gs, gp in zip(g_split, g_packed):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gp),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_multihead_ell_split_diag_matches_packed(rng):
+    from tf_geometric_tpu.ops.ell import ell_spmm_multihead
+    n, H, d = 15, 3, 4
+    _, ei, _ = random_graph(rng, n, 60, 1)
+    loops = np.arange(n, dtype=np.int32)
+    ei = np.concatenate([ei, np.stack([loops, loops])], axis=1)
+    E = ei.shape[1]
+    att = rng.normal(size=(E, H)).astype(np.float32)
+    v = rng.normal(size=(n, H * d)).astype(np.float32)
+    ones = np.ones(E, np.float32)
+    packed = EllAdj.from_coo(ei, ones, (n, n))
+    split = EllAdj.from_coo(ei, ones, (n, n), split_diag=True)
+
+    out_p = ell_spmm_multihead(packed, jnp.asarray(att), jnp.asarray(v), d)
+    out_s = ell_spmm_multihead(split, jnp.asarray(att), jnp.asarray(v), d)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_p),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(ell, a, vv):
+        return jnp.sum(ell_spmm_multihead(ell, a, vv, d) ** 2)
+
+    ga_s, gv_s = jax.grad(lambda a, vv: loss(split, a, vv), argnums=(0, 1))(
+        jnp.asarray(att), jnp.asarray(v))
+    ga_p, gv_p = jax.grad(lambda a, vv: loss(packed, a, vv), argnums=(0, 1))(
+        jnp.asarray(att), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(ga_s), np.asarray(ga_p),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gv_s), np.asarray(gv_p),
+                               rtol=1e-4, atol=1e-4)

@@ -44,6 +44,11 @@ def _gat_edge_cache(edge_index, num_nodes: int, cache: Optional[dict]):
     sorted_ei = ei_np[:, order]
     from ...ops.ell import EllAdj
     from ...ops.ell_attention import build_gat_layout
+    # NOTE: split_diag=True (dense row-aligned self-loop lane) is fully
+    # supported by the fused kernel and measured — identical fp32, 6.5%
+    # SLOWER bf16 (112.8 vs 105.9 ms at arxiv scale): the extra dense
+    # full-width passes cost more than the ~13% of gathers they remove.
+    # Keep self-loops packed.
     ell = EllAdj.from_coo(sorted_ei, np.ones(sorted_ei.shape[1], np.float32),
                           (num_nodes, num_nodes))
     layout = build_gat_layout(ell)

@@ -231,7 +231,7 @@ def _mh_expand(a, d_head: int):
 
 
 def _mh_forward(slots_col, slot_eid, tail_row, tail_col, tail_eid,
-                num_rows, att_pad, v, d_head):
+                num_rows, att_pad, v, d_head, diag_eid=None):
     n_src = v.shape[0]
     K = slots_col.shape[1]
 
@@ -253,40 +253,47 @@ def _mh_forward(slots_col, slot_eid, tail_row, tail_col, tail_eid,
             * _mh_expand(t_a, d_head).astype(v.dtype)
         out = out + jax.ops.segment_sum(msg, tail_row, num_segments=num_rows,
                                         indices_are_sorted=True)
+    if diag_eid is not None and diag_eid.shape[0]:
+        # split-out self-loops: col == row, so v is row-ALIGNED — only the
+        # narrow per-edge weight is fetched (no wide gather at all)
+        a_d = jnp.take(att_pad, jnp.clip(diag_eid, 0, att_pad.shape[0] - 1),
+                       axis=0)
+        out = out + v * _mh_expand(a_d, d_head).astype(v.dtype)
     return out
 
 
 def _mh_impl(slots_col, slot_eid, tail_row, tail_col, tail_eid,
              t_slots_col, t_slot_eid, t_tail_row, t_tail_col, t_tail_eid,
-             num_rows, num_cols, num_edges, d_head, att, v):
+             diag_eid, num_rows, num_cols, num_edges, d_head, att, v):
     att_pad = jnp.concatenate([att, jnp.zeros((1, att.shape[1]), att.dtype)])
     return _mh_forward(slots_col, slot_eid, tail_row, tail_col, tail_eid,
-                       num_rows, att_pad, v, d_head)
+                       num_rows, att_pad, v, d_head, diag_eid)
 
 
-_mh_vjp = jax.custom_vjp(_mh_impl, nondiff_argnums=(10, 11, 12, 13))
+_mh_vjp = jax.custom_vjp(_mh_impl, nondiff_argnums=(11, 12, 13, 14))
 
 
 def _mh_fwd(slots_col, slot_eid, tail_row, tail_col, tail_eid,
             t_slots_col, t_slot_eid, t_tail_row, t_tail_col, t_tail_eid,
-            num_rows, num_cols, num_edges, d_head, att, v):
+            diag_eid, num_rows, num_cols, num_edges, d_head, att, v):
     out = _mh_impl(slots_col, slot_eid, tail_row, tail_col, tail_eid,
                    t_slots_col, t_slot_eid, t_tail_row, t_tail_col, t_tail_eid,
-                   num_rows, num_cols, num_edges, d_head, att, v)
+                   diag_eid, num_rows, num_cols, num_edges, d_head, att, v)
     return out, (slots_col, slot_eid, tail_row, tail_col, tail_eid,
                  t_slots_col, t_slot_eid, t_tail_row, t_tail_col, t_tail_eid,
-                 att, v)
+                 diag_eid, att, v)
 
 
 def _mh_bwd(num_rows, num_cols, num_edges, d_head, residuals, dy):
     (slots_col, slot_eid, tail_row, tail_col, tail_eid,
      t_slots_col, t_slot_eid, t_tail_row, t_tail_col, t_tail_eid,
-     att, v) = residuals
+     diag_eid, att, v) = residuals
     H = att.shape[1]
     att_pad = jnp.concatenate([att, jnp.zeros((1, H), att.dtype)])
-    # dv = Aᵀ_w dy via the transpose layout (same per-edge weights)
+    # dv = Aᵀ_w dy via the transpose layout (same per-edge weights; the
+    # transpose diagonal is the same diag_eid)
     dv = _mh_forward(t_slots_col, t_slot_eid, t_tail_row, t_tail_col, t_tail_eid,
-                     num_cols, att_pad, dy, d_head)
+                     num_cols, att_pad, dy, d_head, diag_eid)
     # d_att[e, h] = <dy[row_e] block h, v[col_e] block h>
     n_src = v.shape[0]
     K = slots_col.shape[1]
@@ -305,7 +312,10 @@ def _mh_bwd(num_rows, num_cols, num_edges, d_head, residuals, dy):
                   * jnp.take(v, jnp.clip(tail_col, 0, n_src - 1), axis=0))
         d_t = t_prod.reshape(-1, H, d_head).sum(-1)
         d_att = d_att.at[tail_eid].add(d_t.astype(att.dtype), mode="drop")
-    return (None, None, None, None, None, None, None, None, None, None,
+    if diag_eid.shape[0]:
+        d_d = (dy * v).reshape(num_rows, H, d_head).sum(-1)  # row-aligned
+        d_att = d_att.at[diag_eid].add(d_d.astype(att.dtype), mode="drop")
+    return (None, None, None, None, None, None, None, None, None, None, None,
             d_att[:num_edges], dv)
 
 
@@ -317,15 +327,13 @@ def ell_spmm_multihead(ell: "EllAdj", edge_att, v, d_head: int):
 
     edge_att: [E, H] per-edge per-head weights (post-softmax);
     v: [N, H·d_head] head-blocked values. Returns [num_rows, H·d_head].
+    Split-out self-loops (``split_diag``) aggregate row-aligned — no gather.
     """
-    if ell.diag_val.shape[0]:
-        raise ValueError("multihead aggregation requires an EllAdj built "
-                         "without split_diag (self-loops must stay packed)")
     return _mh_vjp(ell.slots_col, ell.slot_eid, ell.tail_row, ell.tail_col,
                    ell.tail_eid, ell.t_slots_col, ell.t_slot_eid,
                    ell.t_tail_row, ell.t_tail_col, ell.t_tail_eid,
-                   ell.shape[0], ell.shape[1], ell.num_edges, d_head,
-                   edge_att, v)
+                   ell.diag_eid, ell.shape[0], ell.shape[1], ell.num_edges,
+                   d_head, edge_att, v)
 
 
 def ell_spmm(ell: "EllAdj", h, diff_values: bool = False, compute_dtype=None):

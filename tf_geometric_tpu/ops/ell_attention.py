@@ -131,9 +131,11 @@ def _tail_scores(tail_row, tail_col, Q, K, H, d, inv_scale, num_rows):
 
 
 def _softmax_slots_tail(s_slots, s_tail, slot_valid, tail_valid, tail_row,
-                        num_rows):
-    """Destination softmax across (K slots ∪ tail) per row, denominator
-    folded in; invalid entries → exactly 0 (empty rows aggregate to 0)."""
+                        num_rows, s_diag=None):
+    """Destination softmax across (K slots ∪ tail ∪ diag lane) per row,
+    denominator folded in; invalid entries → exactly 0 (empty rows aggregate
+    to 0). ``s_diag`` [N, H] carries the split-out self-loop scores — a
+    fully dense lane (no gathers, no segment ops)."""
     H = s_slots.shape[-1]
     slot_max = s_slots.max(axis=1)                               # [N, H]
     if s_tail.shape[0]:
@@ -142,9 +144,16 @@ def _softmax_slots_tail(s_slots, s_tail, slot_valid, tail_valid, tail_row,
         row_max = jnp.maximum(slot_max, t_max)
     else:
         row_max = slot_max
+    if s_diag is not None:
+        row_max = jnp.maximum(row_max, s_diag)
     p_slots = jnp.exp(s_slots - row_max[:, None, :])
     p_slots = jnp.where(slot_valid[:, :, None], p_slots, 0.0)
     denom = p_slots.sum(axis=1)
+    if s_diag is not None:
+        p_diag = jnp.exp(s_diag - row_max)                       # [N, H]
+        denom = denom + p_diag
+    else:
+        p_diag = None
     if s_tail.shape[0]:
         safe_tr = jnp.clip(tail_row, 0, num_rows - 1)
         p_tail = jnp.exp(s_tail - jnp.take(row_max, safe_tr, axis=0))
@@ -156,17 +165,18 @@ def _softmax_slots_tail(s_slots, s_tail, slot_valid, tail_valid, tail_row,
         p_tail = jnp.zeros((0, H), jnp.float32)
     inv_denom = 1.0 / (denom + 1e-16)
     a_slots = p_slots * inv_denom[:, None, :]
+    a_diag = p_diag * inv_denom if p_diag is not None else None
     if s_tail.shape[0]:
         a_tail = p_tail * jnp.take(inv_denom, jnp.clip(tail_row, 0,
                                                        num_rows - 1), axis=0)
     else:
         a_tail = p_tail
-    return a_slots, a_tail
+    return a_slots, a_tail, a_diag
 
 
 def _aggregate(slots_col, tail_row, tail_col, a_slots, a_tail, V, d,
-               num_rows):
-    """out[n] = Σ_k a_slots[n,k,:]⊗V[col_k]  (+ sorted tail)."""
+               num_rows, a_diag=None):
+    """out[n] = Σ_k a_slots[n,k,:]⊗V[col_k]  (+ sorted tail + dense diag)."""
     n_src = V.shape[0]
     Kslots = slots_col.shape[1]
 
@@ -183,6 +193,8 @@ def _aggregate(slots_col, tail_row, tail_col, a_slots, a_tail, V, d,
         msg = v * _expand(a_tail, d).astype(V.dtype)
         out = out + jax.ops.segment_sum(msg, tail_row, num_segments=num_rows,
                                         indices_are_sorted=True)
+    if a_diag is not None:
+        out = out + V * _expand(a_diag, d).astype(V.dtype)  # row-aligned
     return out
 
 
@@ -192,31 +204,39 @@ def _aggregate(slots_col, tail_row, tail_col, a_slots, a_tail, V, d,
 # nondiff_argnums.
 
 
-def _fused_core(slots_col, slot_eid, tail_row, tail_col,
+def _fused_core(slots_col, slot_eid, tail_row, tail_col, diag_eid,
                 num_rows, num_edges, H, d,
-                Q, K, V, keep_slots, keep_tail):
+                Q, K, V, keep_slots, keep_tail, keep_diag):
     inv_scale = 1.0 / np.sqrt(float(d))
     s_slots = _slot_scores(slots_col, slot_eid, Q, K, H, d, inv_scale,
                            num_edges)
     s_tail = _tail_scores(tail_row, tail_col, Q, K, H, d, inv_scale, num_rows)
+    if diag_eid.shape[0]:
+        # split-out self-loops: score, softmax lane, and aggregation are all
+        # row-aligned dense ops — zero gathers for ~13% of the edges
+        s_diag = _blocksum(Q * K, H, d) * inv_scale              # [N, H]
+        s_diag = jnp.where((diag_eid < num_edges)[:, None], s_diag, _NEG)
+    else:
+        s_diag = None
     slot_valid = slot_eid < num_edges
     tail_valid = tail_row < num_rows
-    a_slots, a_tail = _softmax_slots_tail(s_slots, s_tail, slot_valid,
-                                          tail_valid, tail_row, num_rows)
+    a_slots, a_tail, a_diag = _softmax_slots_tail(
+        s_slots, s_tail, slot_valid, tail_valid, tail_row, num_rows, s_diag)
     ad_slots = a_slots * keep_slots
     ad_tail = a_tail * keep_tail
+    ad_diag = a_diag * keep_diag if a_diag is not None else None
     out = _aggregate(slots_col, tail_row, tail_col, ad_slots, ad_tail, V, d,
-                     num_rows)
-    return out, (a_slots, a_tail, ad_slots, ad_tail)
+                     num_rows, ad_diag)
+    return out, (a_slots, a_tail, a_diag, ad_slots, ad_tail, ad_diag)
 
 
 def _fused_impl(num_rows, num_edges, H, d,
-                slots_col, slot_eid, tail_row, tail_col,
+                slots_col, slot_eid, tail_row, tail_col, diag_eid,
                 t_slots_col, t_slot_pos, t_tail_row, t_tail_col, t_tail_pos,
-                Q, K, V, keep_slots, keep_tail):
-    out, _ = _fused_core(slots_col, slot_eid, tail_row, tail_col,
+                Q, K, V, keep_slots, keep_tail, keep_diag):
+    out, _ = _fused_core(slots_col, slot_eid, tail_row, tail_col, diag_eid,
                          num_rows, num_edges, H, d,
-                         Q, K, V, keep_slots, keep_tail)
+                         Q, K, V, keep_slots, keep_tail, keep_diag)
     return out
 
 
@@ -224,23 +244,23 @@ _fused_vjp = jax.custom_vjp(_fused_impl, nondiff_argnums=(0, 1, 2, 3))
 
 
 def _fused_fwd(num_rows, num_edges, H, d,
-               slots_col, slot_eid, tail_row, tail_col,
+               slots_col, slot_eid, tail_row, tail_col, diag_eid,
                t_slots_col, t_slot_pos, t_tail_row, t_tail_col, t_tail_pos,
-               Q, K, V, keep_slots, keep_tail):
-    out, (a_slots, a_tail, ad_slots, ad_tail) = _fused_core(
-        slots_col, slot_eid, tail_row, tail_col,
-        num_rows, num_edges, H, d, Q, K, V, keep_slots, keep_tail)
+               Q, K, V, keep_slots, keep_tail, keep_diag):
+    out, (a_slots, a_tail, a_diag, ad_slots, ad_tail, ad_diag) = _fused_core(
+        slots_col, slot_eid, tail_row, tail_col, diag_eid,
+        num_rows, num_edges, H, d, Q, K, V, keep_slots, keep_tail, keep_diag)
     return out, (slots_col, tail_row, tail_col,
                  t_slots_col, t_slot_pos, t_tail_row, t_tail_col, t_tail_pos,
-                 Q, K, V, a_slots, a_tail, ad_slots, ad_tail,
-                 keep_slots, keep_tail)
+                 Q, K, V, a_slots, a_tail, a_diag, ad_slots, ad_tail, ad_diag,
+                 keep_slots, keep_tail, keep_diag)
 
 
 def _fused_bwd(num_rows, num_edges, H, d, residuals, dy):
     (slots_col, tail_row, tail_col,
      t_slots_col, t_slot_pos, t_tail_row, t_tail_col, t_tail_pos,
-     Q, K, V, a_slots, a_tail, ad_slots, ad_tail,
-     keep_slots, keep_tail) = residuals
+     Q, K, V, a_slots, a_tail, a_diag, ad_slots, ad_tail, ad_diag,
+     keep_slots, keep_tail, keep_diag) = residuals
     N = num_rows
     n_src = V.shape[0]
     Kslots = slots_col.shape[1]
@@ -263,16 +283,25 @@ def _fused_bwd(num_rows, num_edges, H, d, residuals, dy):
     else:
         da_tail = jnp.zeros((0, H), jnp.float32)
 
+    has_diag = a_diag is not None
+    if has_diag:
+        da_diag = _blocksum(dy * V, H, d)                     # row-aligned
     # dropout: ã = a·keep  ⇒  da = dã·keep
     da_slots = da_slots * keep_slots
     da_tail = da_tail * keep_tail
+    if has_diag:
+        da_diag = da_diag * keep_diag
 
     # softmax backward: ds = a ⊙ (da − g[row]),  g = Σ_edges a·da per row
     g = (a_slots * da_slots).sum(axis=1)                      # [N, H]
+    if has_diag:
+        g = g + a_diag * da_diag
     if T:
         g = g + jax.ops.segment_sum(a_tail * da_tail, tail_row,
                                     num_segments=N, indices_are_sorted=True)
     ds_slots = a_slots * (da_slots - g[:, None, :]) * inv_scale
+    if has_diag:
+        ds_diag = a_diag * (da_diag - g) * inv_scale          # [N, H]
     if T:
         g_t = jnp.take(g, jnp.clip(tail_row, 0, N - 1), axis=0)
         ds_tail = a_tail * (da_tail - g_t) * inv_scale
@@ -292,6 +321,9 @@ def _fused_bwd(num_rows, num_edges, H, d, residuals, dy):
         msg = kc * _expand(ds_tail, d).astype(K.dtype)
         dQ = dQ + jax.ops.segment_sum(msg, tail_row, num_segments=N,
                                       indices_are_sorted=True)
+    if has_diag:
+        # every diag term is row-aligned: dQ += K·ds, dK += Q·ds, dV += dy·ã
+        dQ = dQ + K * _expand(ds_diag, d).astype(K.dtype)
 
     # dV[m] = Σ_{e: col=m} ã_e ⊗ dy[row_e]  and
     # dK[m] = Σ_{e: col=m} ds_e ⊗ Q[row_e]  share the transpose layout and
@@ -338,10 +370,14 @@ def _fused_bwd(num_rows, num_edges, H, d, residuals, dy):
         Hd = dy.shape[1]
         dV = dV + seg[:, :Hd]
         dK = dK + seg[:, Hd:]
+    if has_diag:
+        dV = dV + dy * _expand(ad_diag, d).astype(dy.dtype)
+        dK = dK + Q * _expand(ds_diag, d).astype(Q.dtype)
 
-    return (None, None, None, None, None, None, None, None, None,
+    return (None, None, None, None, None, None, None, None, None, None,
             dQ.astype(Q.dtype), dK.astype(K.dtype), dV.astype(V.dtype),
-            jnp.zeros_like(keep_slots), jnp.zeros_like(keep_tail))
+            jnp.zeros_like(keep_slots), jnp.zeros_like(keep_tail),
+            jnp.zeros_like(keep_diag))
 
 
 _fused_vjp.defvjp(_fused_fwd, _fused_bwd)
@@ -374,7 +410,7 @@ def gat_attention_ell(layout: GatEllLayout, Q, K, V, num_heads: int,
             "fused ELL attention requires query/key head width == value "
             "head width; use the segment path otherwise")
     if training and edge_drop_rate > 0.0 and dropout_key is not None:
-        k1, k2 = jax.random.split(dropout_key)
+        k1, k2, k3 = jax.random.split(dropout_key, 3)
         scale = 1.0 / (1.0 - edge_drop_rate)
         keep_slots = jax.random.bernoulli(
             k1, 1.0 - edge_drop_rate,
@@ -382,16 +418,21 @@ def gat_attention_ell(layout: GatEllLayout, Q, K, V, num_heads: int,
         keep_tail = jax.random.bernoulli(
             k2, 1.0 - edge_drop_rate,
             (ell.tail_row.shape[0], H)).astype(jnp.float32) * scale
+        keep_diag = jax.random.bernoulli(
+            k3, 1.0 - edge_drop_rate,
+            (ell.diag_eid.shape[0], H)).astype(jnp.float32) * scale
     else:
         keep_slots = jnp.ones((), jnp.float32)
         keep_tail = jnp.ones((), jnp.float32)
+        keep_diag = jnp.ones((), jnp.float32)
 
     out_dtype = V.dtype
     if cd is not None:
         Q, K, V = Q.astype(cd), K.astype(cd), V.astype(cd)
     out = _fused_vjp(ell.shape[0], ell.num_edges, H, d_v,
                      ell.slots_col, ell.slot_eid, ell.tail_row, ell.tail_col,
+                     ell.diag_eid,
                      ell.t_slots_col, layout.t_slot_pos, ell.t_tail_row,
                      ell.t_tail_col, layout.t_tail_pos,
-                     Q, K, V, keep_slots, keep_tail)
+                     Q, K, V, keep_slots, keep_tail, keep_diag)
     return out.astype(out_dtype)
