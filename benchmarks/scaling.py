@@ -82,6 +82,16 @@ def measure(num_devices, graph, use_rcm=True, steps=10):
 
 
 def main():
+    if os.environ.get("TFG_SCALING_REAL") != "1":
+        # default to the 8-device virtual CPU mesh: the JAX_PLATFORMS env
+        # var alone is ignored when the harness pins another platform, and
+        # running here on a single tunneled TPU both measures nothing useful
+        # and collides with any other TPU client. Set TFG_SCALING_REAL=1 on
+        # an actual pod slice.
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     import jax
     from tf_geometric_tpu.datasets.synthetic_citation import synthetic_citation_graph
 
