@@ -15,17 +15,28 @@ import optax
 from tf_geometric_tpu.layers.base import l2_loss
 
 
-def load_cora():
-    from tf_geometric_tpu.datasets.planetoid import CoraDataset
+def load_planetoid(name: str = "cora"):
+    """Load a Planetoid dataset (cora/citeseer/pubmed), real files or the
+    synthetic same-shape fallback. Honors the benchmark scripts'
+    ``BENCH_DATASET`` selection (reference run_multi_times.sh passes the
+    dataset per run)."""
+    from tf_geometric_tpu.datasets import planetoid
     from tf_geometric_tpu.datasets.synthetic_citation import FakePlanetoidDataset
+    cls = {"cora": planetoid.CoraDataset,
+           "citeseer": planetoid.CiteseerDataset,
+           "pubmed": planetoid.PubmedDataset}[name]
     try:
-        data = CoraDataset().load_data()
+        data = cls().load_data()
     except Exception:
-        print("real Cora unavailable — using synthetic Cora-shaped graph")
-        data = FakePlanetoidDataset("cora").load_data()
+        print(f"real {name} unavailable — using synthetic {name}-shaped graph")
+        data = FakePlanetoidDataset(name).load_data()
     graph, splits = data
     graph.convert_data_to_tensor()
     return graph, tuple(jnp.asarray(np.asarray(s, np.int32)) for s in splits)
+
+
+def load_cora():
+    return load_planetoid(os.environ.get("BENCH_DATASET", "cora"))
 
 
 def masked_softmax_loss(params, logits, y, mask_index, l2_coef=5e-4):
