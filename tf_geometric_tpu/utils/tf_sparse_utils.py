@@ -12,7 +12,8 @@ import numpy as np
 from ..sparse.matrix import SparseMatrix
 from .union_utils import convert_union_to_numpy
 
-__all__ = ["sparse_gather_sub", "compute_num_or_size_splits"]
+__all__ = ["sparse_gather_sub", "sparse_tensor_gather_sub",
+           "compute_num_or_size_splits"]
 
 
 def sparse_gather_sub(x: SparseMatrix, sub_index, axis: int = 0) -> SparseMatrix:
@@ -39,6 +40,13 @@ def sparse_gather_sub(x: SparseMatrix, sub_index, axis: int = 0) -> SparseMatrix
     new_shape[gather_axis] = len(sub_index)
     new_shape[other_axis] = x.shape[other_axis]
     return SparseMatrix(new_index.astype(np.int32), value[keep], tuple(new_shape))
+
+
+def sparse_tensor_gather_sub(x: SparseMatrix, sub_index, axis: int = 0) -> SparseMatrix:
+    """Reference's tf.sparse.SparseTensor variant (utils/tf_sparse_utils.py:8-53).
+    There is no separate SparseTensor type here — SparseMatrix is the one
+    sparse container — so this is the same row/column-subset + reindex."""
+    return sparse_gather_sub(x, sub_index, axis=axis)
 
 
 def compute_num_or_size_splits(num_h_features: int, num_splits):
