@@ -24,15 +24,15 @@ def measure(num_devices, graph, use_rcm=True, steps=10):
     from tf_geometric_tpu.nn.conv.gcn import gcn_norm_adj
     from tf_geometric_tpu.parallel.halo import build_halo_spec
     from tf_geometric_tpu.parallel.partition import (apply_node_permutation,
-                                                     community_order,
-                                                     partition_edges_by_row)
+                                                     partition_edges_by_row,
+                                                     partition_order)
     from tf_geometric_tpu.parallel.sharded import (build_mesh,
                                                    make_graph_parallel_gcn_step)
     from tf_geometric_tpu.sparse import SparseMatrix
 
     if use_rcm and num_devices > 1:
-        # community-aware ordering (LPA) keeps most edges device-local
-        perm = community_order(graph.edge_index, graph.num_nodes)
+        # balanced block-aligned partition (LPA + bin-packing + refinement)
+        perm = partition_order(graph.edge_index, graph.num_nodes, num_devices)
         graph, _ = apply_node_permutation(graph, perm)
 
     num_nodes = graph.num_nodes
@@ -64,10 +64,7 @@ def measure(num_devices, graph, use_rcm=True, steps=10):
          jnp.zeros(num_classes)),
     ]
     opt_state = optimizer.init(params)
-    args = (jnp.asarray(x_p), jnp.asarray(spec.local_row.reshape(-1)),
-            jnp.asarray(spec.col_addr.reshape(-1)),
-            jnp.asarray(spec.value.reshape(-1)),
-            jnp.asarray(y_p), jnp.asarray(mask))
+    args = (jnp.asarray(x_p), jnp.asarray(y_p), jnp.asarray(mask))
 
     with mesh:
         params, opt_state, loss = step(params, opt_state, *args)

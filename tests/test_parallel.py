@@ -117,29 +117,68 @@ def test_halo_exchange_matches_all_gather():
          jnp.zeros(num_classes)),
     ]
 
-    def run(step_fn, optimizer, cols):
-        opt_state = optimizer.init(params)
-        with mesh:
-            new_params, _, loss = step_fn(
-                params, opt_state, jnp.asarray(x_p),
-                jnp.asarray(part.local_row.reshape(-1)),
-                jnp.asarray(cols.reshape(-1)),
-                jnp.asarray(part.value.reshape(-1)),
-                jnp.asarray(y_p), jnp.asarray(mask))
-        return new_params, float(loss)
-
     step_ag, opt_ag = make_graph_parallel_gcn_step(
         mesh, hidden=hidden, num_classes=num_classes)
-    p_ag, loss_ag = run(step_ag, opt_ag, part.global_col)
+    opt_state = opt_ag.init(params)
+    with mesh:
+        p_ag, _, loss_ag = step_ag(
+            params, opt_state, jnp.asarray(x_p),
+            jnp.asarray(part.local_row.reshape(-1)),
+            jnp.asarray(part.global_col.reshape(-1)),
+            jnp.asarray(part.value.reshape(-1)),
+            jnp.asarray(y_p), jnp.asarray(mask))
+    loss_ag = float(loss_ag)
 
     step_halo, opt_halo = make_graph_parallel_gcn_step(
         mesh, hidden=hidden, num_classes=num_classes, halo_spec=spec)
-    p_halo, loss_halo = run(step_halo, opt_halo, spec.col_addr)
+    opt_state = opt_halo.init(params)
+    with mesh:
+        p_halo, _, loss_halo = step_halo(
+            params, opt_state, jnp.asarray(x_p), jnp.asarray(y_p),
+            jnp.asarray(mask))
+    loss_halo = float(loss_halo)
 
     np.testing.assert_allclose(loss_halo, loss_ag, rtol=1e-5, atol=1e-6)
     for (w_h, b_h), (w_a, b_a) in zip(p_halo, p_ag):
         np.testing.assert_allclose(np.asarray(w_h), np.asarray(w_a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_partition_order_blocks_and_halo():
+    """partition_order: valid permutation, exact block alignment, and a
+    strictly smaller halo plan than community_order on an SBM."""
+    from tf_geometric_tpu.parallel.halo import build_halo_spec
+    from tf_geometric_tpu.parallel.partition import (community_order,
+                                                     partition_order)
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tf_geometric_tpu.datasets.synthetic_citation import synthetic_citation_graph
+
+    N, Pn = 2000, 4
+    g = synthetic_citation_graph(num_nodes=N, num_features=8, num_classes=12,
+                                 avg_degree=6, seed=2)
+    ei = np.asarray(g.edge_index, np.int64)
+    perm = partition_order(ei, N, Pn)
+    assert sorted(perm.tolist()) == list(range(N))
+
+    def halo_frac(p):
+        part = partition_edges_by_row(p[ei], None, N, Pn)
+        return build_halo_spec(part, capacity_multiple=16).halo_fraction
+
+    assert halo_frac(perm) < halo_frac(community_order(ei, N))
+
+
+def test_halo_split_covers_all_edges():
+    """Every real edge lands in exactly one of the local/remote shards."""
+    from tf_geometric_tpu.parallel.halo import build_halo_spec
+    x, index, value, y = _setup()
+    part = partition_edges_by_row(index, value, x.shape[0], 4, pad_multiple=16)
+    spec = build_halo_spec(part, capacity_multiple=16)
+    n_loc = (spec.loc_row < spec.nodes_per_part).sum()
+    n_rem = (spec.rem_row < spec.nodes_per_part).sum()
+    assert n_loc + n_rem == index.shape[1]
+    np.testing.assert_allclose(spec.loc_val.sum() + spec.rem_val.sum(),
+                               value.sum(), rtol=1e-5)
 
 
 def test_community_order_improves_locality():

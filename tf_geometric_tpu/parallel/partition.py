@@ -23,7 +23,15 @@ import numpy as np
 from ..utils.union_utils import convert_union_to_numpy
 
 __all__ = ["EdgePartition", "partition_edges_by_row", "bandwidth_reduction_order",
-           "community_order", "apply_node_permutation"]
+           "community_order", "partition_order", "apply_node_permutation"]
+
+
+def nodes_per_part(num_nodes: int, num_parts: int) -> int:
+    """The uniform per-device node-block size (rounded up to a multiple of 8
+    so every shard tiles cleanly); shared by the partitioner and the
+    orderings that align to its block boundaries."""
+    npp = -(-num_nodes // num_parts)
+    return -(-npp // 8) * 8
 
 
 class EdgePartition(NamedTuple):
@@ -51,26 +59,24 @@ def partition_edges_by_row(edge_index, edge_weight, num_nodes: int,
         edge_weight = np.ones(edge_index.shape[1], np.float32)
     edge_weight = convert_union_to_numpy(edge_weight, np.float32)
 
-    nodes_per_part = -(-num_nodes // num_parts)
-    # round node block up so every device owns the same count
-    nodes_per_part = -(-nodes_per_part // 8) * 8
-    owner = edge_index[0] // nodes_per_part
+    npp_ = nodes_per_part(num_nodes, num_parts)
+    owner = edge_index[0] // npp_
     owner = np.minimum(owner, num_parts - 1)
 
     counts = np.bincount(owner, minlength=num_parts)
     e_pad = int(-(-counts.max() // pad_multiple) * pad_multiple) if counts.size else pad_multiple
 
-    local_row = np.full((num_parts, e_pad), nodes_per_part, np.int32)  # padded → dropped
+    local_row = np.full((num_parts, e_pad), npp_, np.int32)  # padded → dropped
     global_col = np.zeros((num_parts, e_pad), np.int32)
     value = np.zeros((num_parts, e_pad), np.float32)
     for p in range(num_parts):
         sel = owner == p
         k = int(sel.sum())
-        local_row[p, :k] = (edge_index[0][sel] - p * nodes_per_part).astype(np.int32)
+        local_row[p, :k] = (edge_index[0][sel] - p * npp_).astype(np.int32)
         global_col[p, :k] = edge_index[1][sel].astype(np.int32)
         value[p, :k] = edge_weight[sel]
     return EdgePartition(local_row, global_col, value,
-                         nodes_per_part, num_parts, num_parts * nodes_per_part)
+                         npp_, num_parts, num_parts * npp_)
 
 
 def bandwidth_reduction_order(edge_index, num_nodes: int) -> np.ndarray:
@@ -101,6 +107,14 @@ def community_order(edge_index, num_nodes: int, num_iters: int = 8,
     permuted graph then keep most edges device-local. Majority-vote LPA,
     fully vectorized.
     """
+    labels = _community_labels(edge_index, num_nodes, num_iters, seed)
+    return _labels_to_order(labels, num_nodes)
+
+
+def _community_labels(edge_index, num_nodes: int, num_iters: int = 8,
+                      seed: int = 0) -> np.ndarray:
+    """Majority-vote label-propagation community labels (native C++ sweep
+    when available, vectorized numpy otherwise)."""
     edge_index = convert_union_to_numpy(edge_index, np.int64)
     row, col = edge_index[0], edge_index[1]
     from .. import native
@@ -109,10 +123,8 @@ def community_order(edge_index, num_nodes: int, num_iters: int = 8,
         row_ptr = native.build_row_ptr(row, num_nodes)
         labels = native.lpa_labels(row_ptr, col[order].astype(np.int32),
                                    num_nodes, num_iters)
-    else:
-        labels = None
-    if labels is not None:
-        return _labels_to_order(labels, num_nodes)
+        if labels is not None:
+            return labels
     labels = np.arange(num_nodes, dtype=np.int64)
     rng = np.random.default_rng(seed)
     for _ in range(num_iters):
@@ -135,7 +147,129 @@ def community_order(edge_index, num_nodes: int, num_iters: int = 8,
         if np.array_equal(new_labels, labels):
             break
         labels = new_labels
-    return _labels_to_order(labels, num_nodes)
+    return labels
+
+
+def partition_order(edge_index, num_nodes: int, num_parts: int,
+                    num_iters: int = 8, refine_iters: int = 8,
+                    seed: int = 0) -> np.ndarray:
+    """Balanced, block-aligned graph partition → node permutation.
+
+    ``community_order`` only groups communities contiguously — a community
+    that happens to straddle a device-block boundary pays its FULL internal
+    edge volume as halo. This partitioner targets the blocks directly
+    (the METIS role in SURVEY §7 step 8, built the social-hash way):
+
+    1. LPA community labels;
+    2. first-fit-decreasing bin-packing of communities into ``num_parts``
+       bins with exactly the block capacities ``partition_edges_by_row``
+       will use (so bin == device block, no straddling);
+    3. capacity-constrained refinement sweeps: every node may move to the
+       part holding most of its (undirected) neighbors when the target has
+       slack — boundary cleanup the packing can't see;
+    4. exactness repair back to the precise per-block sizes.
+
+    Returns ``perm`` with ``perm[old_id] = new_id``; feed the permuted graph
+    to ``partition_edges_by_row(..., num_parts)`` with the same
+    ``num_parts``. Host-side, O(E · refine_iters).
+    """
+    edge_index = convert_union_to_numpy(edge_index, np.int64)
+    P = int(num_parts)
+    N = int(num_nodes)
+    if P <= 1 or N == 0:
+        return np.arange(N, dtype=np.int64)
+    npp = nodes_per_part(N, P)
+    caps = np.array([max(0, min(npp, N - p * npp)) for p in range(P)], np.int64)
+
+    labels = _community_labels(edge_index, N, num_iters, seed)
+
+    # --- 2. pack communities into parts (largest community first, into the
+    # part with most remaining room; oversized communities split greedily) ---
+    comm_ids, comm_inv, comm_sizes = np.unique(labels, return_inverse=True,
+                                               return_counts=True)
+    node_by_comm = np.argsort(comm_inv, kind="stable")
+    starts = np.zeros(len(comm_ids) + 1, np.int64)
+    np.cumsum(comm_sizes, out=starts[1:])
+    part = np.full(N, -1, np.int64)
+    room = caps.copy()
+    for c in np.argsort(-comm_sizes):
+        members = node_by_comm[starts[c]:starts[c + 1]]
+        off = 0
+        while off < len(members):
+            p = int(np.argmax(room))
+            take = min(int(room[p]), len(members) - off)
+            if take <= 0:
+                break
+            part[members[off:off + take]] = p
+            room[p] -= take
+            off += take
+
+    # symmetric edge list (each endpoint sees the other) for gain counting
+    row = np.concatenate([edge_index[0], edge_index[1]])
+    col = np.concatenate([edge_index[1], edge_index[0]])
+    keep = row != col
+    row, col = row[keep], col[keep]
+
+    def neighbor_part_counts(assign):
+        cnt = np.zeros((N, P), np.int32)
+        np.add.at(cnt.reshape(-1), row * P + assign[col], 1)
+        return cnt
+
+    # --- 3. refinement sweeps with bounded slack ---
+    slack = max(8, npp // 64)
+    fill = np.bincount(part, minlength=P)
+    for _ in range(refine_iters):
+        cnt = neighbor_part_counts(part)
+        cur = cnt[np.arange(N), part]
+        best = cnt.argmax(axis=1)
+        gain = cnt.max(axis=1) - cur
+        movers = np.nonzero((best != part) & (gain > 0))[0]
+        if len(movers) == 0:
+            break
+        moved = 0
+        for n in movers[np.argsort(-gain[movers])]:
+            b = best[n]
+            if fill[b] < caps[b] + slack:
+                fill[part[n]] -= 1
+                fill[b] += 1
+                part[n] = b
+                moved += 1
+        if moved == 0:
+            break
+
+    # --- 4. exactness repair: drain overfull parts into underfull ones,
+    # evicting the nodes that lose the least locality ---
+    cnt = neighbor_part_counts(part)
+    for p in range(P):
+        excess = int(fill[p] - caps[p])
+        if excess <= 0:
+            continue
+        under = np.nonzero(fill < caps)[0]
+        members = np.nonzero(part == p)[0]
+        # best underfull target per member, by neighbors kept
+        tgt_cnt = cnt[members][:, under]
+        tgt_pick = tgt_cnt.argmax(axis=1)
+        score = tgt_cnt[np.arange(len(members)), tgt_pick] - cnt[members, p]
+        for i in np.argsort(-score):
+            if excess == 0:
+                break
+            t = int(under[tgt_pick[i]])
+            if fill[t] >= caps[t]:
+                # recompute this member's target among still-underfull parts
+                open_parts = np.nonzero(fill < caps)[0]
+                if len(open_parts) == 0:
+                    break
+                t = int(open_parts[cnt[members[i]][open_parts].argmax()])
+            n = members[i]
+            fill[p] -= 1
+            fill[t] += 1
+            part[n] = t
+            excess -= 1
+
+    order = np.lexsort((np.arange(N), part))  # old ids, part-major
+    perm = np.empty(N, np.int64)
+    perm[order] = np.arange(N)
+    return perm
 
 
 def _labels_to_order(labels: np.ndarray, num_nodes: int) -> np.ndarray:

@@ -54,42 +54,60 @@ def make_graph_parallel_gcn_step(mesh: Mesh, graph_axis: str = "graph",
     """Build a jitted, shard_map'd full training step for an edge-partitioned
     multi-layer GCN.
 
-    Returns ``(step_fn, shard_args_fn)`` where ``step_fn(params, opt_state,
-    x_shard, rows, cols, vals, y_shard, mask_shard)`` performs forward,
-    backward (grads psum-ed over all mesh axes → replicated), and an SGD
-    update, entirely under ``jit`` over the mesh.
+    Without ``halo_spec`` (all_gather mode) the step is
+    ``step(params, opt_state, x_shard, rows, cols, vals, y_shard,
+    mask_shard)``. With ``halo_spec`` the plan's edge/halo arrays are closed
+    over as jit CONSTANTS (packed index arrays measured 2.1× faster as
+    constants than as arguments — docs/performance.md) and the step is
+    ``step(params, opt_state, x_shard, y_shard, mask_shard)``: forward,
+    backward (grads psum-ed over the graph axis → replicated), Adam update,
+    entirely under ``jit`` over the mesh. The halo forward starts the
+    all_to_all first and aggregates the device-local edges while it is in
+    flight (no data dependency), so ICI time hides under local compute.
     """
     import optax
 
     optimizer = optax.adam(learning_rate)
     all_axes = tuple(mesh.axis_names)
 
-    def forward(params, x_local, rows, cols, vals, nodes_per_part):
-        """cols semantics: global node ids (all_gather mode) or virtual
-        device-local halo addresses (halo mode, see parallel/halo.py)."""
-        from .halo import halo_exchange, halo_spmm_local
+    def forward_halo(params, x_local, nodes_per_part):
+        from .halo import halo_exchange, halo_spmm_split
+        my = jax.lax.axis_index(graph_axis)
+        send_idx_local = jnp.asarray(halo_spec.send_idx)[my]
+        plan = tuple(jnp.asarray(a)[my] for a in
+                     (halo_spec.loc_row, halo_spec.loc_col, halo_spec.loc_val,
+                      halo_spec.rem_row, halo_spec.rem_addr, halo_spec.rem_val))
         h_local = x_local
         for li, (w, b) in enumerate(params):
             hw_local = h_local @ w
-            if halo_spec is not None:
-                my = jax.lax.axis_index(graph_axis)
-                send_idx_local = jnp.asarray(halo_spec.send_idx)[my]
-                recv = halo_exchange(hw_local, send_idx_local, graph_axis)
-                h_local = halo_spmm_local(hw_local, recv, cols, rows, vals,
-                                          nodes_per_part) + b
-            else:
-                h_global = jax.lax.all_gather(hw_local, graph_axis, tiled=True)
-                h_local = sharded_spmm_local(h_global, rows, cols, vals,
-                                             nodes_per_part) + b
+            recv = halo_exchange(hw_local, send_idx_local, graph_axis)
+            h_local = halo_spmm_split(hw_local, recv, *plan,
+                                      nodes_per_part) + b
             if li < len(params) - 1:
                 h_local = jax.nn.relu(h_local)
         return h_local
 
-    def local_step(params, opt_state, x_local, rows, cols, vals, y_local, mask_local):
+    def forward(params, x_local, rows, cols, vals, nodes_per_part):
+        """cols are global node ids, resolved against the all-gathered h."""
+        h_local = x_local
+        for li, (w, b) in enumerate(params):
+            hw_local = h_local @ w
+            h_global = jax.lax.all_gather(hw_local, graph_axis, tiled=True)
+            h_local = sharded_spmm_local(h_global, rows, cols, vals,
+                                         nodes_per_part) + b
+            if li < len(params) - 1:
+                h_local = jax.nn.relu(h_local)
+        return h_local
+
+    def local_step(params, opt_state, x_local, y_local, mask_local,
+                   rows=None, cols=None, vals=None):
         nodes_per_part = x_local.shape[0]
 
         def loss_fn(p):
-            logits = forward(p, x_local, rows, cols, vals, nodes_per_part)
+            if halo_spec is not None:
+                logits = forward_halo(p, x_local, nodes_per_part)
+            else:
+                logits = forward(p, x_local, rows, cols, vals, nodes_per_part)
             ce = optax.softmax_cross_entropy_with_integer_labels(
                 logits, jnp.clip(y_local, 0, None))
             local_sum = jnp.sum(ce * mask_local)
@@ -112,10 +130,22 @@ def make_graph_parallel_gcn_step(mesh: Mesh, graph_axis: str = "graph",
 
     shard_spec = P(graph_axis, None)
     edge_spec = P(graph_axis)
-    step = shard_map(
-        local_step, mesh=mesh,
-        in_specs=(P(), P(), shard_spec, edge_spec, edge_spec, edge_spec,
-                  P(graph_axis), P(graph_axis)),
-        out_specs=(P(), P(), P()),
-    )
+    if halo_spec is not None:
+        step = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(), P(), shard_spec, P(graph_axis), P(graph_axis)),
+            out_specs=(P(), P(), P()),
+        )
+    else:
+        def local_step_ag(params, opt_state, x_local, rows, cols, vals,
+                          y_local, mask_local):
+            return local_step(params, opt_state, x_local, y_local, mask_local,
+                              rows, cols, vals)
+
+        step = shard_map(
+            local_step_ag, mesh=mesh,
+            in_specs=(P(), P(), shard_spec, edge_spec, edge_spec, edge_spec,
+                      P(graph_axis), P(graph_axis)),
+            out_specs=(P(), P(), P()),
+        )
     return jax.jit(step), optimizer
