@@ -74,6 +74,14 @@ def main():
     print(f"LPA order      numpy {t_np*1000:8.0f} ms   native {t_cc*1000:8.0f} ms"
           f"   {t_np/t_cc:5.1f}x", flush=True)
 
+    from tf_geometric_tpu.parallel.partition import partition_order
+    t_np = with_native(False, lambda: partition_order(eil, Nl, 8, num_iters=4,
+                                                      refine_iters=4))
+    t_cc = with_native(True, lambda: partition_order(eil, Nl, 8, num_iters=4,
+                                                     refine_iters=4))
+    print(f"partition P=8  numpy {t_np*1000:8.0f} ms   native {t_cc*1000:8.0f} ms"
+          f"   {t_np/t_cc:5.1f}x", flush=True)
+
 
 if __name__ == "__main__":
     main()

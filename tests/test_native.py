@@ -107,3 +107,37 @@ def test_community_order_native_path(rng):
     new1 = np.sort(perm[:20])
     new2 = np.sort(perm[20:])
     assert new1.max() - new1.min() == 19 or new2.max() - new2.min() == 19
+
+
+def test_partition_refine_native_invariants(rng, monkeypatch):
+    """Native partition_order: valid permutation, exact block fills, and a
+    cut no worse than the numpy fallback path's starting point."""
+    from tf_geometric_tpu.parallel import partition
+    N, Pn = 1500, 4
+    # homophilous blocks so refinement has signal
+    y = rng.integers(0, 12, N)
+    src = rng.integers(0, N, 6000)
+    dst = np.where(rng.random(6000) < 0.8,
+                   np.array([rng.choice(np.nonzero(y == y[s])[0]) for s in src]),
+                   rng.integers(0, N, 6000))
+    ei = np.stack([src, dst]).astype(np.int64)
+
+    perm_native = partition.partition_order(ei, N, Pn)
+    assert sorted(perm_native.tolist()) == list(range(N))
+    npp = partition.nodes_per_part(N, Pn)
+    caps = np.array([max(0, min(npp, N - p * npp)) for p in range(Pn)])
+    fills = np.bincount(np.minimum(perm_native // npp, Pn - 1), minlength=Pn)
+    np.testing.assert_array_equal(fills, caps)
+
+    def cross(perm):
+        pe = perm[ei]
+        return (np.minimum(pe[0] // npp, Pn - 1)
+                != np.minimum(pe[1] // npp, Pn - 1)).mean()
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    perm_numpy = partition.partition_order(ei, N, Pn)
+    fills = np.bincount(np.minimum(perm_numpy // npp, Pn - 1), minlength=Pn)
+    np.testing.assert_array_equal(fills, caps)
+    # both refined partitions beat the raw-id baseline
+    assert cross(perm_native) < cross(np.arange(N)) - 0.05
+    assert cross(perm_numpy) < cross(np.arange(N)) - 0.05

@@ -27,7 +27,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 __all__ = ["available", "sort_by_row", "build_row_ptr", "ell_pack",
-           "sample_fixed_k", "lpa_labels"]
+           "sample_fixed_k", "lpa_labels", "partition_refine"]
 
 _SRC = Path(__file__).with_name("graph_ops.cpp")
 _lib = None
@@ -80,6 +80,10 @@ def _compile_and_load() -> Optional[ctypes.CDLL]:
     lib.tfg_sample_fixed_k.restype = None
     lib.tfg_lpa_sweep.argtypes = [i64p, i32p, ctypes.c_int32, i64p, i64p]
     lib.tfg_lpa_sweep.restype = ctypes.c_int64
+    lib.tfg_partition_refine.argtypes = [i64p, i32p, ctypes.c_int32,
+                                         ctypes.c_int32, i64p, ctypes.c_int32,
+                                         ctypes.c_int32, i32p]
+    lib.tfg_partition_refine.restype = ctypes.c_int64
     return lib
 
 
@@ -201,3 +205,20 @@ def lpa_labels(row_ptr, col, num_nodes: int, num_iters: int = 8):
         if changes == 0:
             break
     return labels.copy()
+
+
+def partition_refine(row_ptr, col, part, caps, slack: int, num_iters: int):
+    """Capacity-constrained partition refinement + exactness repair over a
+    symmetric CSR graph (parallel/partition.py partition_order steps 3-4).
+    Mutates ``part`` (int32 [N]) in place so fill == caps exactly; returns
+    the number of moves, or None without the native library."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    row_ptr = np.ascontiguousarray(row_ptr, np.int64)
+    col = np.ascontiguousarray(col, np.int32)
+    caps = np.ascontiguousarray(caps, np.int64)
+    assert part.dtype == np.int32 and part.flags.c_contiguous
+    return int(lib.tfg_partition_refine(row_ptr, col, int(part.shape[0]),
+                                        int(caps.shape[0]), caps, int(slack),
+                                        int(num_iters), part))

@@ -220,4 +220,105 @@ int64_t tfg_lpa_sweep(const int64_t* row_ptr, const int32_t* col,
     return changes;
 }
 
+// Capacity-constrained partition refinement (parallel/partition.py
+// partition_order steps 3-4): gain-ordered greedy moves of nodes to the
+// part holding most of their neighbors, with bounded slack, then an
+// exactness repair draining overfull parts into underfull ones. Graph is
+// symmetric CSR (each endpoint sees the other). Mutates `part` in place and
+// returns the total number of moves. On exit fill(part) == caps exactly.
+int64_t tfg_partition_refine(const int64_t* row_ptr, const int32_t* col,
+                             int32_t num_nodes, int32_t num_parts,
+                             const int64_t* caps, int32_t slack,
+                             int32_t num_iters, int32_t* part) {
+    const int32_t P = num_parts;
+    std::vector<int64_t> fill((size_t)P, 0);
+    for (int32_t n = 0; n < num_nodes; ++n) fill[part[n]]++;
+    std::vector<int32_t> best((size_t)num_nodes);
+    std::vector<int64_t> gain((size_t)num_nodes);
+    std::vector<int64_t> movers;
+    int64_t total_moves = 0;
+
+    for (int32_t it = 0; it < num_iters; ++it) {
+        // pass 1 (parallel): best target + gain from the current snapshot
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+        {
+            std::vector<int64_t> cnt((size_t)P);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 2048)
+#endif
+            for (int32_t n = 0; n < num_nodes; ++n) {
+                std::fill(cnt.begin(), cnt.end(), 0);
+                for (int64_t e = row_ptr[n]; e < row_ptr[n + 1]; ++e)
+                    cnt[part[col[e]]]++;
+                int32_t b = 0;
+                for (int32_t p = 1; p < P; ++p)
+                    if (cnt[p] > cnt[b]) b = p;
+                best[n] = b;
+                gain[n] = cnt[b] - cnt[part[n]];
+            }
+        }
+        movers.clear();
+        for (int32_t n = 0; n < num_nodes; ++n)
+            if (best[n] != part[n] && gain[n] > 0) movers.push_back(n);
+        if (movers.empty()) break;
+        std::sort(movers.begin(), movers.end(),
+                  [&](int64_t a, int64_t b) {
+                      if (gain[a] != gain[b]) return gain[a] > gain[b];
+                      return a < b;
+                  });
+        int64_t moved = 0;
+        for (int64_t n : movers) {
+            const int32_t b = best[n];
+            if (fill[b] < caps[b] + slack) {
+                fill[part[n]]--;
+                fill[b]++;
+                part[n] = (int32_t)b;
+                ++moved;
+            }
+        }
+        total_moves += moved;
+        if (moved == 0) break;
+    }
+
+    // exactness repair: drain overfull parts, evicting the members that
+    // lose the least locality, into the best still-underfull part
+    std::vector<int64_t> cnt((size_t)P);
+    for (int32_t p = 0; p < P; ++p) {
+        int64_t excess = fill[p] - caps[p];
+        if (excess <= 0) continue;
+        std::vector<std::pair<int64_t, int32_t>> scored;  // (-score, node)
+        for (int32_t n = 0; n < num_nodes; ++n) {
+            if (part[n] != p) continue;
+            std::fill(cnt.begin(), cnt.end(), 0);
+            for (int64_t e = row_ptr[n]; e < row_ptr[n + 1]; ++e)
+                cnt[part[col[e]]]++;
+            int32_t t = -1;
+            for (int32_t q = 0; q < P; ++q)
+                if (fill[q] < caps[q] && (t < 0 || cnt[q] > cnt[t])) t = q;
+            if (t < 0) break;
+            scored.emplace_back(-(cnt[t] - cnt[p]), n);
+        }
+        std::sort(scored.begin(), scored.end());
+        for (auto& sn : scored) {
+            if (excess == 0) break;
+            const int32_t n = sn.second;
+            std::fill(cnt.begin(), cnt.end(), 0);
+            for (int64_t e = row_ptr[n]; e < row_ptr[n + 1]; ++e)
+                cnt[part[col[e]]]++;
+            int32_t t = -1;
+            for (int32_t q = 0; q < P; ++q)
+                if (fill[q] < caps[q] && (t < 0 || cnt[q] > cnt[t])) t = q;
+            if (t < 0) break;
+            fill[p]--;
+            fill[t]++;
+            part[n] = t;
+            --excess;
+            ++total_moves;
+        }
+    }
+    return total_moves;
+}
+
 }  // extern "C"

@@ -209,14 +209,29 @@ def partition_order(edge_index, num_nodes: int, num_parts: int,
     col = np.concatenate([edge_index[1], edge_index[0]])
     keep = row != col
     row, col = row[keep], col[keep]
+    slack = max(8, npp // 64)
+
+    from .. import native
+    if native.available():
+        # C++ sweeps + exactness repair over a symmetric CSR (OpenMP gains)
+        row32 = row.astype(np.int32)
+        order_e = native.sort_by_row(row32, N)
+        row_ptr = native.build_row_ptr(row32, N)
+        part32 = np.ascontiguousarray(part, np.int32)
+        moved = native.partition_refine(row_ptr, col[order_e].astype(np.int32),
+                                        part32, caps, slack, refine_iters)
+        if moved is not None:
+            order = np.lexsort((np.arange(N), part32))
+            perm = np.empty(N, np.int64)
+            perm[order] = np.arange(N)
+            return perm
 
     def neighbor_part_counts(assign):
         cnt = np.zeros((N, P), np.int32)
         np.add.at(cnt.reshape(-1), row * P + assign[col], 1)
         return cnt
 
-    # --- 3. refinement sweeps with bounded slack ---
-    slack = max(8, npp // 64)
+    # --- 3. refinement sweeps with bounded slack (numpy fallback) ---
     fill = np.bincount(part, minlength=P)
     for _ in range(refine_iters):
         cnt = neighbor_part_counts(part)
