@@ -199,3 +199,77 @@ def test_community_order_improves_locality():
     pe = perm[ei]
     ordered = ((pe[0] // npp) == (pe[1] // npp)).mean()
     assert ordered > base + 0.1
+
+
+def test_sharded_gat_matches_single_device():
+    """Edge-partitioned multi-head GAT step ≡ single-device oracle (same
+    score/softmax/aggregation formulas, reference nn/conv/gat.py:49-89)."""
+    from tf_geometric_tpu.parallel.halo import build_halo_spec
+    from tf_geometric_tpu.parallel.sharded import make_graph_parallel_gat_step
+    from tf_geometric_tpu.utils.graph_utils import add_self_loop_edge
+
+    H, d, num_classes = 2, 4, 5
+    num_nodes, f = 96, 12
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(num_nodes, f)).astype(np.float32)
+    ei = rng.integers(0, num_nodes, size=(2, 300)).astype(np.int32)
+    ei = np.unique(ei, axis=1)  # dense oracle can't express duplicate edges
+    ei = ei[:, ei[0] != ei[1]]
+    ei, _ = add_self_loop_edge(ei, num_nodes)
+    y = rng.integers(0, num_classes, size=num_nodes).astype(np.int32)
+
+    part = partition_edges_by_row(np.asarray(ei), None, num_nodes, 4,
+                                  pad_multiple=16)
+    spec = build_halo_spec(part, capacity_multiple=16)
+    n_pad = part.num_nodes_padded
+    x_p = np.zeros((n_pad, f), np.float32); x_p[:num_nodes] = x
+    y_p = np.zeros(n_pad, np.int32); y_p[:num_nodes] = y
+    mask = np.zeros(n_pad, np.float32); mask[:num_nodes] = 1.0
+
+    params = (
+        (jnp.asarray(rng.normal(scale=0.2, size=(f, H * d)), jnp.float32),
+         jnp.asarray(rng.normal(scale=0.2, size=(f, H * d)), jnp.float32),
+         jnp.asarray(rng.normal(scale=0.2, size=(f, H * d)), jnp.float32),
+         jnp.zeros(H * d)),
+        (jnp.asarray(rng.normal(scale=0.2, size=(H * d, num_classes)),
+                     jnp.float32),
+         jnp.zeros(num_classes)),
+    )
+    mesh = build_mesh({"graph": 4})
+    step, opt = make_graph_parallel_gat_step(mesh, spec, num_heads=H, units=d,
+                                             num_classes=num_classes)
+    opt_state = opt.init(params)
+    with mesh:
+        new_params, _, loss_sharded = step(
+            params, opt_state, jnp.asarray(x_p), jnp.asarray(y_p),
+            jnp.asarray(mask))
+    loss_sharded = float(loss_sharded)
+
+    # single-device oracle: dense per-head attention
+    def oracle_loss(p):
+        (wq, wk, wv, bias), (w_out, b_out) = p
+        xx = jnp.asarray(x)
+        Q = (xx @ wq).reshape(num_nodes, H, d)
+        K = (xx @ wk).reshape(num_nodes, H, d)
+        V = (xx @ wv).reshape(num_nodes, H, d)
+        s = jnp.full((H, num_nodes, num_nodes), -jnp.inf)
+        r, c = jnp.asarray(ei[0]), jnp.asarray(ei[1])
+        scores = jnp.einsum("ehd,ehd->eh", Q[r], K[c]) / (d ** 0.5)
+        s = s.at[:, r, c].set(scores.T)
+        a = jax.nn.softmax(s, axis=-1)
+        a = jnp.where(jnp.isfinite(s).any(-1, keepdims=True), a, 0.0)
+        h = jnp.einsum("hnm,mhd->nhd", a, V).reshape(num_nodes, H * d) + bias
+        logits = jax.nn.elu(h) @ w_out + b_out
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.asarray(y))
+        return ce.mean()
+
+    loss_single, grads_single = jax.value_and_grad(oracle_loss)(params)
+    np.testing.assert_allclose(loss_sharded, float(loss_single),
+                               rtol=1e-4, atol=1e-5)
+    updates, _ = opt.update(grads_single, opt.init(params), params)
+    params_single = optax.apply_updates(params, updates)
+    for got, want in zip(jax.tree.leaves(new_params),
+                         jax.tree.leaves(params_single)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=1e-4)

@@ -1,1 +1,16 @@
-from . import spmm, pallas_spmm, ell, config
+"""TPU kernels: COO/ELL SpMM + SDDMM + fused attention (SURVEY §2.9's
+tf_sparse role, rebuilt as packed layouts with custom VJPs).
+
+The COO ``spmm``/``sddmm`` functions live in the ``spmm`` submodule (their
+names collide with it, so they are not re-bound here).
+"""
+from . import config, ell, ell_attention, pallas_segment, pallas_spmm, spmm
+from .ell import EllAdj, build_ell_arrays, ell_spmm, ell_spmm_multihead
+from .ell_attention import GatEllLayout, build_gat_layout, gat_attention_ell
+from .spmm import sddmm_xla, spmm_xla
+
+__all__ = [
+    "EllAdj", "build_ell_arrays", "ell_spmm", "ell_spmm_multihead",
+    "GatEllLayout", "build_gat_layout", "gat_attention_ell",
+    "spmm_xla", "sddmm_xla", "config",
+]

@@ -9,13 +9,14 @@ from .partition import (EdgePartition, apply_node_permutation,
                         nodes_per_part, partition_edges_by_row,
                         partition_order)
 from .halo import HaloSpec, build_halo_spec, halo_exchange, halo_spmm_split
-from .sharded import (build_mesh, make_graph_parallel_gcn_step,
-                      sharded_spmm_local)
+from .sharded import (build_mesh, make_graph_parallel_gat_step,
+                      make_graph_parallel_gcn_step, sharded_spmm_local)
 
 __all__ = [
     "EdgePartition", "apply_node_permutation", "bandwidth_reduction_order",
     "community_order", "nodes_per_part", "partition_edges_by_row",
     "partition_order",
     "HaloSpec", "build_halo_spec", "halo_exchange", "halo_spmm_split",
-    "build_mesh", "make_graph_parallel_gcn_step", "sharded_spmm_local",
+    "build_mesh", "make_graph_parallel_gcn_step", "make_graph_parallel_gat_step",
+    "sharded_spmm_local",
 ]

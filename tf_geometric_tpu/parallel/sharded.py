@@ -22,7 +22,8 @@ from jax import shard_map
 
 from .partition import EdgePartition, partition_edges_by_row
 
-__all__ = ["sharded_spmm_local", "make_graph_parallel_gcn_step", "build_mesh"]
+__all__ = ["sharded_spmm_local", "make_graph_parallel_gcn_step",
+           "make_graph_parallel_gat_step", "build_mesh"]
 
 
 def build_mesh(axis_sizes: dict, devices: Optional[Sequence] = None) -> Mesh:
@@ -148,4 +149,122 @@ def make_graph_parallel_gcn_step(mesh: Mesh, graph_axis: str = "graph",
                       P(graph_axis), P(graph_axis)),
             out_specs=(P(), P(), P()),
         )
+    return jax.jit(step), optimizer
+
+
+def make_graph_parallel_gat_step(mesh: Mesh, halo_spec, num_heads: int = 8,
+                                 units: int = 8, num_classes: int = 7,
+                                 graph_axis: str = "graph",
+                                 learning_rate: float = 5e-3):
+    """Edge-partitioned multi-head GAT training step (SDDMM path, sharded).
+
+    Scales BASELINE workload config 2 (multi-head GAT) across the ``graph``
+    mesh axis with the same halo plan as the GCN step. The destination
+    softmax needs no collective: edges are owned by their destination row,
+    so per-row max / sum / normalize are device-local segment ops — only the
+    source-side K and V rows cross devices, in the one all_to_all per layer
+    (K‖V concatenated so a single exchange carries both). Reference
+    semantics: nn/conv/gat.py:49-89 (score = <Q_row, K_col>/√d, destination
+    softmax, weighted aggregation, concat heads), self-loops expected to be
+    pre-added to the edge list before partitioning (reference adds them at
+    :43). Plan arrays ride as jit constants; step is
+    ``step(params, opt_state, x_shard, y_shard, mask_shard)``.
+
+    ``params = ((wq, wk, wv, bias), (w_out, b_out))`` — one GAT layer
+    (heads concatenated, ELU) + a linear classifier, mirroring the
+    reference GAT demo's single-attention-layer shape (demo/demo_gat.py).
+    """
+    import optax
+
+    optimizer = optax.adam(learning_rate)
+    H, d = num_heads, units
+    npp = halo_spec.nodes_per_part
+    inv_scale = 1.0 / (d ** 0.5)
+
+    def _blocksum(prod):  # [M, H·d] → [M, H] per-head reduction in f32
+        return prod.astype(jnp.float32).reshape(prod.shape[0], H, d).sum(-1)
+
+    def _expand(a, like):  # [M, H] → [M, H·d]
+        return jnp.repeat(a, d, axis=-1).astype(like.dtype)
+
+    def gat_layer(x_local, wq, wk, wv, bias, plan, send_idx_local):
+        (loc_row, loc_col, loc_val, rem_row, rem_addr, rem_val) = plan
+        Q = x_local @ wq
+        K = x_local @ wk
+        V = x_local @ wv
+        # one exchange carries K‖V (halves the collective launches)
+        recv = halo_exchange_fn(jnp.concatenate([K, V], axis=-1),
+                                send_idx_local)
+        recv_flat = recv.reshape(-1, 2 * H * d)
+        kv_loc = jnp.take(jnp.concatenate([K, V], axis=-1),
+                          jnp.clip(loc_col, 0, npp - 1), axis=0)
+        kv_rem = jnp.take(recv_flat, jnp.clip(rem_addr, 0,
+                                              recv_flat.shape[0] - 1), axis=0)
+        q_loc = jnp.take(Q, jnp.clip(loc_row, 0, npp - 1), axis=0)
+        q_rem = jnp.take(Q, jnp.clip(rem_row, 0, npp - 1), axis=0)
+        s_loc = _blocksum(q_loc * kv_loc[:, :H * d]) * inv_scale   # [EL, H]
+        s_rem = _blocksum(q_rem * kv_rem[:, :H * d]) * inv_scale   # [ER, H]
+        neg = jnp.float32(-1e30)
+        s_loc = jnp.where((loc_row < npp)[:, None], s_loc, neg)
+        s_rem = jnp.where((rem_row < npp)[:, None], s_rem, neg)
+        # destination softmax: per-row max over both edge lists (local ops)
+        m = jnp.maximum(
+            jax.ops.segment_max(s_loc, loc_row, num_segments=npp + 1),
+            jax.ops.segment_max(s_rem, rem_row, num_segments=npp + 1))[:npp]
+        m = jnp.where(jnp.isfinite(m), m, 0.0)
+        safe_lr = jnp.clip(loc_row, 0, npp - 1)
+        safe_rr = jnp.clip(rem_row, 0, npp - 1)
+        p_loc = jnp.exp(s_loc - jnp.take(m, safe_lr, axis=0))
+        p_rem = jnp.exp(s_rem - jnp.take(m, safe_rr, axis=0))
+        p_loc = jnp.where((loc_row < npp)[:, None], p_loc, 0.0) \
+            * loc_val[:, None]
+        p_rem = jnp.where((rem_row < npp)[:, None], p_rem, 0.0) \
+            * rem_val[:, None]
+        denom = (jax.ops.segment_sum(p_loc, loc_row, num_segments=npp + 1)
+                 + jax.ops.segment_sum(p_rem, rem_row,
+                                       num_segments=npp + 1))[:npp] + 1e-16
+        a_loc = p_loc / jnp.take(denom, safe_lr, axis=0)
+        a_rem = p_rem / jnp.take(denom, safe_rr, axis=0)
+        out = (jax.ops.segment_sum(
+                   kv_loc[:, H * d:] * _expand(a_loc, V), loc_row,
+                   num_segments=npp + 1)
+               + jax.ops.segment_sum(
+                   kv_rem[:, H * d:] * _expand(a_rem, V), rem_row,
+                   num_segments=npp + 1))[:npp]
+        return out + bias
+
+    def halo_exchange_fn(h_local, send_idx_local):
+        from .halo import halo_exchange
+        return halo_exchange(h_local, send_idx_local, graph_axis)
+
+    def local_step(params, opt_state, x_local, y_local, mask_local):
+        my = jax.lax.axis_index(graph_axis)
+        send_idx_local = jnp.asarray(halo_spec.send_idx)[my]
+        plan = tuple(jnp.asarray(a)[my] for a in
+                     (halo_spec.loc_row, halo_spec.loc_col, halo_spec.loc_val,
+                      halo_spec.rem_row, halo_spec.rem_addr, halo_spec.rem_val))
+
+        def loss_fn(p):
+            (wq, wk, wv, bias), (w_out, b_out) = p
+            h = gat_layer(x_local, wq, wk, wv, bias, plan, send_idx_local)
+            h = jax.nn.elu(h)
+            logits = h @ w_out + b_out
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, jnp.clip(y_local, 0, None))
+            total = jax.lax.psum(jnp.sum(ce * mask_local), graph_axis)
+            count = jax.lax.psum(jnp.sum(mask_local), graph_axis)
+            return total / jnp.maximum(count, 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, graph_axis), grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    shard_spec = P(graph_axis, None)
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), shard_spec, P(graph_axis), P(graph_axis)),
+        out_specs=(P(), P(), P()),
+    )
     return jax.jit(step), optimizer
