@@ -7,9 +7,10 @@ and edges are assigned to the device owning their **destination** row, so the
 segment-reduction (scatter) side of every SpMM is purely local; only the
 gather side needs remote node features (halo exchange / all-gather over ICI).
 
-Partition quality matters for the halo volume; ``reorder_by_degree`` and the
-locality-aware ``bandwidth_reduction_order`` below cheaply shrink the halo
-before the (optional) METIS-style refinement lands.
+Partition quality matters for the halo volume. ``partition_order`` is the
+METIS-role partitioner (LPA communities → block-aligned bin-packing →
+capacity-constrained refinement); ``community_order`` and
+``bandwidth_reduction_order`` are the cheaper ordering-only alternatives.
 
 All outputs are padded to identical per-device sizes — static shapes are
 mandatory under ``shard_map``.
