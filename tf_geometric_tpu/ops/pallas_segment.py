@@ -15,10 +15,16 @@ reduction can instead ride the MXU:
    partials into the output — the scatter shrinks from E rows to
    ~num_rows + num_chunks rows.
 
-At arxiv scale (E=1.33M, F=128) the MXU contraction costs ~174 GFLOP ≈ 1ms
-bf16 vs ~8-11ms for the XLA scatter. Correctness is validated in interpret
-mode (tests); TPU dispatch stays opt-in until profiled on hardware
-(``use_pallas_segment_sum``).
+MEASURED ON HARDWARE (v5e, arxiv scale E=1.33M F=128 — see
+benchmarks/pallas_segment_tpu.py): XLA sorted segment_sum 12-13.6 ms,
+this kernel 25.7-27.9 ms (bf16/f32). The design loses because the fold in
+step 3 still runs over all ``num_chunks·CHUNK = E_pad`` partial rows — the
+scatter never shrinks unless chunks are re-cut by distinct-row count
+(≤R ranks per chunk), which buys at most ~4× fold reduction at mean degree
+8 while keeping the 174-GFLOP one-hot contraction. Since every production
+hot path is already scatter-free on the ELL layout (ops/ell.py), the
+kernel is kept as an oracle-tested reference implementation, not
+dispatched. Correctness is validated in interpret mode (tests/test_ell.py).
 """
 from __future__ import annotations
 
@@ -61,19 +67,24 @@ def plan_sorted_segments(rows_sorted, num_rows: int, chunk: int = CHUNK):
             slot_row.reshape(-1).astype(np.int32), E_pad, num_chunks)
 
 
+GROUP = 8  # chunks per pallas program (TPU sublane tiling wants 8)
+
+
 def _chunk_reduce_kernel(rank_ref, msg_ref, out_ref):
-    """One chunk: out[rank, :] = Σ_{e: rank[e]=rank} msg[e, :] via MXU."""
-    rank = rank_ref[0, :]                                     # [chunk]
+    """GROUP chunks: out[rank, :] = Σ_{e: rank[e]=rank} msg[e, :] via MXU."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-    onehot = (iota == rank[None, :]).astype(msg_ref.dtype)    # [chunk, chunk]
-    out_ref[:, :] = jnp.dot(onehot, msg_ref[:, :],
-                            preferred_element_type=jnp.float32
-                            ).astype(out_ref.dtype)
+    for g in range(GROUP):  # static unroll — GROUP MXU contractions
+        rank = rank_ref[g, :]                                 # [chunk]
+        onehot = (iota == rank[None, :]).astype(msg_ref.dtype)
+        out_ref[g * CHUNK:(g + 1) * CHUNK, :] = jnp.dot(
+            onehot, msg_ref[g * CHUNK:(g + 1) * CHUNK, :],
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def pallas_sorted_segment_sum(msg, rank, slot_row, num_rows: int,
                               num_chunks: int, interpret: bool = False):
-    """msg [E_pad, F] (row-sorted, padded), plan arrays → [num_rows, F]."""
+    """msg [E_pad, F] (row-sorted, padded to GROUP·CHUNK), plan arrays →
+    [num_rows, F]."""
     from jax.experimental import pallas as pl
     try:
         from jax.experimental.pallas import tpu as pltpu
@@ -82,31 +93,37 @@ def pallas_sorted_segment_sum(msg, rank, slot_row, num_rows: int,
         vmem = None
 
     F = msg.shape[1]
-    kwargs = {}
-    if vmem is not None and not interpret:
-        in_specs = [
-            pl.BlockSpec((1, CHUNK), lambda i: (i, 0), memory_space=vmem),
-            pl.BlockSpec((CHUNK, F), lambda i: (i, 0), memory_space=vmem),
-        ]
-        out_specs = pl.BlockSpec((CHUNK, F), lambda i: (i, 0), memory_space=vmem)
-    else:
-        in_specs = [
-            pl.BlockSpec((1, CHUNK), lambda i: (i, 0)),
-            pl.BlockSpec((CHUNK, F), lambda i: (i, 0)),
-        ]
-        out_specs = pl.BlockSpec((CHUNK, F), lambda i: (i, 0))
+    # pad the chunk dimension up to a GROUP multiple
+    num_groups = -(-num_chunks // GROUP)
+    if num_groups * GROUP != num_chunks:
+        pad_chunks = num_groups * GROUP - num_chunks
+        rank = jnp.concatenate(
+            [rank, jnp.zeros(pad_chunks * CHUNK, rank.dtype)])
+        msg = jnp.concatenate(
+            [msg, jnp.zeros((pad_chunks * CHUNK, F), msg.dtype)])
+        num_chunks = num_groups * GROUP
+
+    spec_kwargs = {"memory_space": vmem} if (vmem is not None
+                                             and not interpret) else {}
+    in_specs = [
+        pl.BlockSpec((GROUP, CHUNK), lambda i: (i, 0), **spec_kwargs),
+        pl.BlockSpec((GROUP * CHUNK, F), lambda i: (i, 0), **spec_kwargs),
+    ]
+    out_specs = pl.BlockSpec((GROUP * CHUNK, F), lambda i: (i, 0),
+                             **spec_kwargs)
 
     partials = pl.pallas_call(
         _chunk_reduce_kernel,
-        grid=(num_chunks,),
+        grid=(num_groups,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=jax.ShapeDtypeStruct((num_chunks * CHUNK, F), msg.dtype),
         interpret=interpret,
-        **kwargs,
     )(rank.reshape(num_chunks, CHUNK), msg)
 
-    # fold per-chunk partials into global rows (small sorted scatter)
+    # fold per-chunk partials into global rows (small sorted scatter);
+    # chunk-padding slots carry slot_row's sentinel handling via clipping
+    partials = partials[:slot_row.shape[0]]
     return jax.ops.segment_sum(partials, slot_row, num_segments=num_rows,
                                indices_are_sorted=False)
 
