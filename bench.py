@@ -159,9 +159,13 @@ def main():
         return time.time() - t, p, s
 
     _, params, opt_state = run(2, params, opt_state)
-    t_lo, params, opt_state = run(5, params, opt_state)
-    t_hi, params, opt_state = run(25, params, opt_state)
-    step_time = (t_hi - t_lo) / 20
+    # best of 3 slope fits: the tunnel adds sporadic multi-ms hiccups, and a
+    # single fit can absorb one into the slope (measured ~10% run-to-run)
+    step_time = float("inf")
+    for _ in range(3):
+        t_lo, params, opt_state = run(5, params, opt_state)
+        t_hi, params, opt_state = run(25, params, opt_state)
+        step_time = min(step_time, (t_hi - t_lo) / 20)
     edges_per_sec = num_edges_normed / step_time
 
     # SpMM HBM roofline per training step: 2 layers × (fwd SpMM + bwd dh SpMM
