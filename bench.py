@@ -159,13 +159,17 @@ def main():
         return time.time() - t, p, s
 
     _, params, opt_state = run(2, params, opt_state)
-    # best of 3 slope fits: the tunnel adds sporadic multi-ms hiccups, and a
-    # single fit can absorb one into the slope (measured ~10% run-to-run)
-    step_time = float("inf")
+    # 3 trials against tunnel hiccups (sporadic multi-ms stalls, ~10%
+    # run-to-run on single fits). Hiccups only ADD time, so take the min of
+    # each leg separately — min over whole fits would preferentially pick
+    # trials whose hiccup landed in the short leg and bias the slope low.
+    t_los, t_his = [], []
     for _ in range(3):
         t_lo, params, opt_state = run(5, params, opt_state)
         t_hi, params, opt_state = run(25, params, opt_state)
-        step_time = min(step_time, (t_hi - t_lo) / 20)
+        t_los.append(t_lo)
+        t_his.append(t_hi)
+    step_time = (min(t_his) - min(t_los)) / 20
     edges_per_sec = num_edges_normed / step_time
 
     # SpMM HBM roofline per training step: 2 layers × (fwd SpMM + bwd dh SpMM

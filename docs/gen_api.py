@@ -13,6 +13,7 @@ jax.config.update("jax_platforms", "cpu")
 
 import importlib
 import inspect
+import re
 
 SECTIONS = [
     ("tf_geometric_tpu.nn (functional ops)", "tf_geometric_tpu.nn"),
@@ -41,6 +42,11 @@ def first_line(obj):
     if not doc:
         return ""
     line = doc.strip().splitlines()[0].strip()
+    # dataclass-generated docstrings embed runtime repr()s (memory
+    # addresses) — truncate at the signature so regeneration is stable
+    line = re.sub(r" at 0x[0-9a-f]+", "", line)
+    if len(line) > 120:
+        line = line[:117] + "..."
     return line.replace("|", "\\|")
 
 

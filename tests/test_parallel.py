@@ -160,6 +160,12 @@ def test_partition_order_blocks_and_halo():
     ei = np.asarray(g.edge_index, np.int64)
     perm = partition_order(ei, N, Pn)
     assert sorted(perm.tolist()) == list(range(N))
+    # exact block alignment: part p owns precisely its capacity of new ids
+    from tf_geometric_tpu.parallel.partition import nodes_per_part
+    npp = nodes_per_part(N, Pn)
+    caps = [max(0, min(npp, N - p * npp)) for p in range(Pn)]
+    fills = np.bincount(np.minimum(perm // npp, Pn - 1), minlength=Pn)
+    np.testing.assert_array_equal(fills, caps)
 
     def halo_frac(p):
         part = partition_edges_by_row(p[ei], None, N, Pn)
@@ -228,7 +234,9 @@ def test_sharded_gat_matches_single_device():
 
     params = (
         (jnp.asarray(rng.normal(scale=0.2, size=(f, H * d)), jnp.float32),
+         jnp.asarray(rng.normal(scale=0.1, size=(H * d,)), jnp.float32),
          jnp.asarray(rng.normal(scale=0.2, size=(f, H * d)), jnp.float32),
+         jnp.asarray(rng.normal(scale=0.1, size=(H * d,)), jnp.float32),
          jnp.asarray(rng.normal(scale=0.2, size=(f, H * d)), jnp.float32),
          jnp.zeros(H * d)),
         (jnp.asarray(rng.normal(scale=0.2, size=(H * d, num_classes)),
@@ -245,12 +253,13 @@ def test_sharded_gat_matches_single_device():
             jnp.asarray(mask))
     loss_sharded = float(loss_sharded)
 
-    # single-device oracle: dense per-head attention
+    # single-device oracle: dense per-head attention (reference formulas —
+    # relu'd biased Q/K projections, nn/conv/gat.py:49-66)
     def oracle_loss(p):
-        (wq, wk, wv, bias), (w_out, b_out) = p
+        (wq, bq, wk, bk, wv, bias), (w_out, b_out) = p
         xx = jnp.asarray(x)
-        Q = (xx @ wq).reshape(num_nodes, H, d)
-        K = (xx @ wk).reshape(num_nodes, H, d)
+        Q = jax.nn.relu(xx @ wq + bq).reshape(num_nodes, H, d)
+        K = jax.nn.relu(xx @ wk + bk).reshape(num_nodes, H, d)
         V = (xx @ wv).reshape(num_nodes, H, d)
         s = jnp.full((H, num_nodes, num_nodes), -jnp.inf)
         r, c = jnp.asarray(ei[0]), jnp.asarray(ei[1])

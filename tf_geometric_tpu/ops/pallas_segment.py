@@ -16,8 +16,8 @@ reduction can instead ride the MXU:
    ~num_rows + num_chunks rows.
 
 MEASURED ON HARDWARE (v5e, arxiv scale E=1.33M F=128 — see
-benchmarks/pallas_segment_tpu.py): XLA sorted segment_sum 12-13.6 ms,
-this kernel 25.7-27.9 ms (bf16/f32). The design loses because the fold in
+benchmarks/pallas_segment_tpu.py): XLA sorted segment_sum 12.2-13.3 ms,
+this kernel 21.4-23.6 ms (f32/bf16). The design loses because the fold in
 step 3 still runs over all ``num_chunks·CHUNK = E_pad`` partial rows — the
 scatter never shrinks unless chunks are re-cut by distinct-row count
 (≤R ranks per chunk), which buys at most ~4× fold reduction at mean degree
@@ -38,6 +38,7 @@ __all__ = ["plan_sorted_segments", "pallas_sorted_segment_sum",
            "sorted_segment_sum_mxu"]
 
 CHUNK = 512
+GROUP = 8  # chunks per pallas program (TPU sublane tiling wants 8)
 
 
 def plan_sorted_segments(rows_sorted, num_rows: int, chunk: int = CHUNK):
@@ -49,7 +50,9 @@ def plan_sorted_segments(rows_sorted, num_rows: int, chunk: int = CHUNK):
     """
     rows = np.asarray(rows_sorted, np.int64)
     E = len(rows)
-    E_pad = int(-(-max(E, 1) // chunk) * chunk)
+    # pad the edge stream to a full GROUP of chunks so the kernel never has
+    # to repad on device (an in-jit concatenate would copy the whole stream)
+    E_pad = int(-(-max(E, 1) // (chunk * GROUP)) * (chunk * GROUP))
     rows_p = np.full(E_pad, num_rows, np.int64)
     rows_p[:E] = rows
     num_chunks = E_pad // chunk
@@ -65,9 +68,6 @@ def plan_sorted_segments(rows_sorted, num_rows: int, chunk: int = CHUNK):
     # sentinel so the final segment-sum drops them
     return (rank.reshape(-1).astype(np.int32),
             slot_row.reshape(-1).astype(np.int32), E_pad, num_chunks)
-
-
-GROUP = 8  # chunks per pallas program (TPU sublane tiling wants 8)
 
 
 def _chunk_reduce_kernel(rank_ref, msg_ref, out_ref):
@@ -93,15 +93,11 @@ def pallas_sorted_segment_sum(msg, rank, slot_row, num_rows: int,
         vmem = None
 
     F = msg.shape[1]
-    # pad the chunk dimension up to a GROUP multiple
-    num_groups = -(-num_chunks // GROUP)
-    if num_groups * GROUP != num_chunks:
-        pad_chunks = num_groups * GROUP - num_chunks
-        rank = jnp.concatenate(
-            [rank, jnp.zeros(pad_chunks * CHUNK, rank.dtype)])
-        msg = jnp.concatenate(
-            [msg, jnp.zeros((pad_chunks * CHUNK, F), msg.dtype)])
-        num_chunks = num_groups * GROUP
+    if num_chunks % GROUP != 0:
+        raise ValueError(
+            f"num_chunks ({num_chunks}) must be a multiple of GROUP "
+            f"({GROUP}) — use plan_sorted_segments, which pads host-side")
+    num_groups = num_chunks // GROUP
 
     spec_kwargs = {"memory_space": vmem} if (vmem is not None
                                              and not interpret) else {}

@@ -7,20 +7,27 @@ the destination side and fetches source features via an XLA collective
 (``all_gather`` over ICI; halo-indexed exchange is the optimization on top).
 
 The mesh may also carry a ``data`` axis for batched-graph data parallelism —
-gradients are ``psum``-ed over every mesh axis inside the shard_map'd step,
-so each device ends with replicated global grads (standard SPMD pattern).
+inputs here are replicated along it, so gradients are identical across
+``data`` and only the ``graph`` axis needs a ``psum`` (a true data-parallel
+variant that splits batches over ``data`` must psum over both axes; see
+``demo/demo_distributed_mean_pool.py`` for that pattern).
+
+Halo-plan arrays are passed as shard_map ARGUMENTS sharded over the graph
+axis — each device holds only its own edge shard. (Baking them in as jit
+constants would replicate all P shards onto every device: per-device plan
+memory would scale with TOTAL edges, which defeats sharding at exactly the
+graph sizes that need it. The constants-vs-arguments 2.1× rule from
+docs/performance.md was measured single-chip on the ELL kernels and does
+not transfer here.)
 """
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
-
-from .partition import EdgePartition, partition_edges_by_row
 
 __all__ = ["sharded_spmm_local", "make_graph_parallel_gcn_step",
            "make_graph_parallel_gat_step", "build_mesh"]
@@ -48,6 +55,26 @@ def sharded_spmm_local(h_global, local_row, global_col, value, nodes_per_part: i
     return jax.ops.segment_sum(msg, local_row, num_segments=nodes_per_part)
 
 
+def _plan_arrays(halo_spec):
+    """The halo plan as jnp arrays, in the order the sharded steps expect:
+    (send_idx, loc_row, loc_col, loc_val, rem_row, rem_addr, rem_val)."""
+    return tuple(jnp.asarray(a) for a in
+                 (halo_spec.send_idx,
+                  halo_spec.loc_row, halo_spec.loc_col, halo_spec.loc_val,
+                  halo_spec.rem_row, halo_spec.rem_addr, halo_spec.rem_val))
+
+
+def _plan_specs(graph_axis: str):
+    """shard_map in_specs for ``_plan_arrays`` (leading dim = device)."""
+    return (P(graph_axis, None, None),) + (P(graph_axis, None),) * 6
+
+
+def _squeeze_plan(plan):
+    """Inside shard_map each plan array arrives with a leading length-1
+    device dim — drop it."""
+    return tuple(a[0] for a in plan)
+
+
 def make_graph_parallel_gcn_step(mesh: Mesh, graph_axis: str = "graph",
                                  num_layers: int = 2, hidden: int = 16,
                                  num_classes: int = 7, learning_rate: float = 1e-2,
@@ -57,9 +84,8 @@ def make_graph_parallel_gcn_step(mesh: Mesh, graph_axis: str = "graph",
 
     Without ``halo_spec`` (all_gather mode) the step is
     ``step(params, opt_state, x_shard, rows, cols, vals, y_shard,
-    mask_shard)``. With ``halo_spec`` the plan's edge/halo arrays are closed
-    over as jit CONSTANTS (packed index arrays measured 2.1× faster as
-    constants than as arguments — docs/performance.md) and the step is
+    mask_shard)``. With ``halo_spec`` the returned step closes over the plan
+    (each device receives only its shard through shard_map) and is
     ``step(params, opt_state, x_shard, y_shard, mask_shard)``: forward,
     backward (grads psum-ed over the graph axis → replicated), Adam update,
     entirely under ``jit`` over the mesh. The halo forward starts the
@@ -69,15 +95,9 @@ def make_graph_parallel_gcn_step(mesh: Mesh, graph_axis: str = "graph",
     import optax
 
     optimizer = optax.adam(learning_rate)
-    all_axes = tuple(mesh.axis_names)
 
-    def forward_halo(params, x_local, nodes_per_part):
+    def forward_halo(params, x_local, send_idx_local, plan, nodes_per_part):
         from .halo import halo_exchange, halo_spmm_split
-        my = jax.lax.axis_index(graph_axis)
-        send_idx_local = jnp.asarray(halo_spec.send_idx)[my]
-        plan = tuple(jnp.asarray(a)[my] for a in
-                     (halo_spec.loc_row, halo_spec.loc_col, halo_spec.loc_val,
-                      halo_spec.rem_row, halo_spec.rem_addr, halo_spec.rem_val))
         h_local = x_local
         for li, (w, b) in enumerate(params):
             hw_local = h_local @ w
@@ -100,62 +120,81 @@ def make_graph_parallel_gcn_step(mesh: Mesh, graph_axis: str = "graph",
                 h_local = jax.nn.relu(h_local)
         return h_local
 
-    def local_step(params, opt_state, x_local, y_local, mask_local,
-                   rows=None, cols=None, vals=None):
-        nodes_per_part = x_local.shape[0]
-
-        def loss_fn(p):
-            if halo_spec is not None:
-                logits = forward_halo(p, x_local, nodes_per_part)
-            else:
-                logits = forward(p, x_local, rows, cols, vals, nodes_per_part)
-            ce = optax.softmax_cross_entropy_with_integer_labels(
-                logits, jnp.clip(y_local, 0, None))
-            local_sum = jnp.sum(ce * mask_local)
-            local_cnt = jnp.sum(mask_local)
-            total = jax.lax.psum(local_sum, graph_axis)
-            count = jax.lax.psum(local_cnt, graph_axis)
-            return total / jnp.maximum(count, 1.0)
-
+    def finish_step(params, opt_state, loss_fn):
         loss, grads = jax.value_and_grad(loss_fn)(params)
         # Each device's grads hold only its local contribution to the global
         # loss (psum's AD transpose is a broadcast, and cross-device feature
-        # terms already flowed through the all_gather transpose); summing over
-        # the graph axis yields the full gradient. Inputs are replicated along
-        # any data axis, so values stay invariant there (vma-typed) — no
-        # further reduction needed.
+        # terms already flowed through the collective's transpose); summing
+        # over the graph axis yields the full gradient. Inputs are replicated
+        # along any data axis, so values stay invariant there (vma-typed) —
+        # no further reduction needed.
         grads = jax.tree.map(lambda g: jax.lax.psum(g, graph_axis), grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    def masked_ce(logits, y_local, mask_local):
+        import optax as _optax
+        ce = _optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.clip(y_local, 0, None))
+        total = jax.lax.psum(jnp.sum(ce * mask_local), graph_axis)
+        count = jax.lax.psum(jnp.sum(mask_local), graph_axis)
+        return total / jnp.maximum(count, 1.0)
+
     shard_spec = P(graph_axis, None)
     edge_spec = P(graph_axis)
     if halo_spec is not None:
-        step = shard_map(
-            local_step, mesh=mesh,
-            in_specs=(P(), P(), shard_spec, P(graph_axis), P(graph_axis)),
-            out_specs=(P(), P(), P()),
-        )
-    else:
-        def local_step_ag(params, opt_state, x_local, rows, cols, vals,
-                          y_local, mask_local):
-            return local_step(params, opt_state, x_local, y_local, mask_local,
-                              rows, cols, vals)
+        def local_step(params, opt_state, x_local, y_local, mask_local, *plan):
+            send_idx_local = plan[0][0]
+            edge_plan = _squeeze_plan(plan[1:])
+            nodes_per_part = x_local.shape[0]
 
-        step = shard_map(
-            local_step_ag, mesh=mesh,
-            in_specs=(P(), P(), shard_spec, edge_spec, edge_spec, edge_spec,
-                      P(graph_axis), P(graph_axis)),
+            def loss_fn(p):
+                logits = forward_halo(p, x_local, send_idx_local, edge_plan,
+                                      nodes_per_part)
+                return masked_ce(logits, y_local, mask_local)
+
+            return finish_step(params, opt_state, loss_fn)
+
+        inner = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(), P(), shard_spec, P(graph_axis), P(graph_axis))
+            + _plan_specs(graph_axis),
             out_specs=(P(), P(), P()),
         )
+        jitted = jax.jit(inner)
+        plan_args = _plan_arrays(halo_spec)
+
+        def step(params, opt_state, x, y, mask):
+            return jitted(params, opt_state, x, y, mask, *plan_args)
+
+        return step, optimizer
+
+    def local_step_ag(params, opt_state, x_local, rows, cols, vals,
+                      y_local, mask_local):
+        nodes_per_part = x_local.shape[0]
+
+        def loss_fn(p):
+            logits = forward(p, x_local, rows, cols, vals, nodes_per_part)
+            return masked_ce(logits, y_local, mask_local)
+
+        return finish_step(params, opt_state, loss_fn)
+
+    step = shard_map(
+        local_step_ag, mesh=mesh,
+        in_specs=(P(), P(), shard_spec, edge_spec, edge_spec, edge_spec,
+                  P(graph_axis), P(graph_axis)),
+        out_specs=(P(), P(), P()),
+    )
     return jax.jit(step), optimizer
 
 
 def make_graph_parallel_gat_step(mesh: Mesh, halo_spec, num_heads: int = 8,
                                  units: int = 8, num_classes: int = 7,
                                  graph_axis: str = "graph",
-                                 learning_rate: float = 5e-3):
+                                 learning_rate: float = 5e-3,
+                                 query_activation=jax.nn.relu,
+                                 key_activation=jax.nn.relu):
     """Edge-partitioned multi-head GAT training step (SDDMM path, sharded).
 
     Scales BASELINE workload config 2 (multi-head GAT) across the ``graph``
@@ -164,14 +203,16 @@ def make_graph_parallel_gat_step(mesh: Mesh, halo_spec, num_heads: int = 8,
     so per-row max / sum / normalize are device-local segment ops — only the
     source-side K and V rows cross devices, in the one all_to_all per layer
     (K‖V concatenated so a single exchange carries both). Reference
-    semantics: nn/conv/gat.py:49-89 (score = <Q_row, K_col>/√d, destination
-    softmax, weighted aggregation, concat heads), self-loops expected to be
-    pre-added to the edge list before partitioning (reference adds them at
-    :43). Plan arrays ride as jit constants; step is
+    semantics: nn/conv/gat.py:49-89 — Q = query_activation(xW_q + b_q),
+    K = key_activation(xW_k + b_k) (relu defaults as in layers/conv/gat.py),
+    score = <Q_row, K_col>/√d, destination softmax, weighted aggregation,
+    concat heads; self-loops are expected to be pre-added to the edge list
+    before partitioning (the reference adds them at :43). Plan arrays are
+    shard_map arguments (each device holds its shard only); the step is
     ``step(params, opt_state, x_shard, y_shard, mask_shard)``.
 
-    ``params = ((wq, wk, wv, bias), (w_out, b_out))`` — one GAT layer
-    (heads concatenated, ELU) + a linear classifier, mirroring the
+    ``params = ((wq, bq, wk, bk, wv, bias), (w_out, b_out))`` — one GAT
+    layer (heads concatenated, ELU) + a linear classifier, mirroring the
     reference GAT demo's single-attention-layer shape (demo/demo_gat.py).
     """
     import optax
@@ -187,14 +228,19 @@ def make_graph_parallel_gat_step(mesh: Mesh, halo_spec, num_heads: int = 8,
     def _expand(a, like):  # [M, H] → [M, H·d]
         return jnp.repeat(a, d, axis=-1).astype(like.dtype)
 
-    def gat_layer(x_local, wq, wk, wv, bias, plan, send_idx_local):
+    def gat_layer(x_local, wq, bq, wk, bk, wv, bias, plan, send_idx_local):
+        from .halo import halo_exchange
         (loc_row, loc_col, loc_val, rem_row, rem_addr, rem_val) = plan
-        Q = x_local @ wq
-        K = x_local @ wk
+        Q = x_local @ wq + bq
+        if query_activation is not None:
+            Q = query_activation(Q)
+        K = x_local @ wk + bk
+        if key_activation is not None:
+            K = key_activation(K)
         V = x_local @ wv
         # one exchange carries K‖V (halves the collective launches)
-        recv = halo_exchange_fn(jnp.concatenate([K, V], axis=-1),
-                                send_idx_local)
+        recv = halo_exchange(jnp.concatenate([K, V], axis=-1),
+                             send_idx_local, graph_axis)
         recv_flat = recv.reshape(-1, 2 * H * d)
         kv_loc = jnp.take(jnp.concatenate([K, V], axis=-1),
                           jnp.clip(loc_col, 0, npp - 1), axis=0)
@@ -233,20 +279,14 @@ def make_graph_parallel_gat_step(mesh: Mesh, halo_spec, num_heads: int = 8,
                    num_segments=npp + 1))[:npp]
         return out + bias
 
-    def halo_exchange_fn(h_local, send_idx_local):
-        from .halo import halo_exchange
-        return halo_exchange(h_local, send_idx_local, graph_axis)
-
-    def local_step(params, opt_state, x_local, y_local, mask_local):
-        my = jax.lax.axis_index(graph_axis)
-        send_idx_local = jnp.asarray(halo_spec.send_idx)[my]
-        plan = tuple(jnp.asarray(a)[my] for a in
-                     (halo_spec.loc_row, halo_spec.loc_col, halo_spec.loc_val,
-                      halo_spec.rem_row, halo_spec.rem_addr, halo_spec.rem_val))
+    def local_step(params, opt_state, x_local, y_local, mask_local, *plan):
+        send_idx_local = plan[0][0]
+        edge_plan = _squeeze_plan(plan[1:])
 
         def loss_fn(p):
-            (wq, wk, wv, bias), (w_out, b_out) = p
-            h = gat_layer(x_local, wq, wk, wv, bias, plan, send_idx_local)
+            (wq, bq, wk, bk, wv, bias), (w_out, b_out) = p
+            h = gat_layer(x_local, wq, bq, wk, bk, wv, bias, edge_plan,
+                          send_idx_local)
             h = jax.nn.elu(h)
             logits = h @ w_out + b_out
             ce = optax.softmax_cross_entropy_with_integer_labels(
@@ -262,9 +302,16 @@ def make_graph_parallel_gat_step(mesh: Mesh, halo_spec, num_heads: int = 8,
         return params, opt_state, loss
 
     shard_spec = P(graph_axis, None)
-    step = shard_map(
+    inner = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(), P(), shard_spec, P(graph_axis), P(graph_axis)),
+        in_specs=(P(), P(), shard_spec, P(graph_axis), P(graph_axis))
+        + _plan_specs(graph_axis),
         out_specs=(P(), P(), P()),
     )
-    return jax.jit(step), optimizer
+    jitted = jax.jit(inner)
+    plan_args = _plan_arrays(halo_spec)
+
+    def step(params, opt_state, x, y, mask):
+        return jitted(params, opt_state, x, y, mask, *plan_args)
+
+    return step, optimizer
