@@ -67,7 +67,7 @@ def main():
 
     def softmax(a_slots, _):
         s_tail = jnp.zeros((T, HEADS), jnp.float32)
-        a, at = ea._softmax_slots_tail(
+        a, at, _diag = ea._softmax_slots_tail(
             a_slots, s_tail, ell.slot_eid < ell.num_edges,
             ell.tail_row < N, ell.tail_row, N)
         return a_slots + 1e-9 * a, _
