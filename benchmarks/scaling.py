@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def measure(num_devices, graph, use_rcm=True, steps=10):
+def measure(num_devices, graph, use_rcm=True, steps=10, model="gcn"):
     import jax
     import jax.numpy as jnp
     from tf_geometric_tpu.nn.conv.gcn import gcn_norm_adj
@@ -27,8 +27,10 @@ def measure(num_devices, graph, use_rcm=True, steps=10):
                                                      partition_edges_by_row,
                                                      partition_order)
     from tf_geometric_tpu.parallel.sharded import (build_mesh,
+                                                   make_graph_parallel_gat_step,
                                                    make_graph_parallel_gcn_step)
     from tf_geometric_tpu.sparse import SparseMatrix
+    from tf_geometric_tpu.utils.graph_utils import add_self_loop_edge
 
     if use_rcm and num_devices > 1:
         # balanced block-aligned partition (LPA + bin-packing + refinement)
@@ -36,19 +38,44 @@ def measure(num_devices, graph, use_rcm=True, steps=10):
         graph, _ = apply_node_permutation(graph, perm)
 
     num_nodes = graph.num_nodes
-    normed = gcn_norm_adj(SparseMatrix(graph.edge_index, graph.edge_weight,
-                                       (num_nodes, num_nodes)))
-    part = partition_edges_by_row(jax.device_get(normed.index),
-                                  jax.device_get(normed.value),
-                                  num_nodes, num_devices)
+    if model == "gat":
+        ei, ew = add_self_loop_edge(np.asarray(graph.edge_index), num_nodes)
+        index, value = ei, np.asarray(ew, np.float32)
+    else:
+        normed = gcn_norm_adj(SparseMatrix(graph.edge_index, graph.edge_weight,
+                                           (num_nodes, num_nodes)))
+        index, value = jax.device_get(normed.index), jax.device_get(normed.value)
+    part = partition_edges_by_row(index, value, num_nodes, num_devices)
     spec = build_halo_spec(part)
     mesh = build_mesh({"graph": num_devices})
     num_classes = 40
-    step, optimizer = make_graph_parallel_gcn_step(
-        mesh, hidden=64, num_classes=num_classes, halo_spec=spec)
+    rng = np.random.default_rng(0)
+    x_np = np.asarray(graph.x)
+    if model == "gat":
+        H, d = 8, 8
+        step, optimizer = make_graph_parallel_gat_step(
+            mesh, spec, num_heads=H, units=d, num_classes=num_classes)
+        params = (
+            (jnp.asarray(rng.normal(scale=0.1, size=(x_np.shape[1], H * d)), jnp.float32),
+             jnp.zeros(H * d),
+             jnp.asarray(rng.normal(scale=0.1, size=(x_np.shape[1], H * d)), jnp.float32),
+             jnp.zeros(H * d),
+             jnp.asarray(rng.normal(scale=0.1, size=(x_np.shape[1], H * d)), jnp.float32),
+             jnp.zeros(H * d)),
+            (jnp.asarray(rng.normal(scale=0.1, size=(H * d, num_classes)), jnp.float32),
+             jnp.zeros(num_classes)),
+        )
+    else:
+        step, optimizer = make_graph_parallel_gcn_step(
+            mesh, hidden=64, num_classes=num_classes, halo_spec=spec)
+        params = [
+            (jnp.asarray(rng.normal(scale=0.1, size=(x_np.shape[1], 64)), jnp.float32),
+             jnp.zeros(64)),
+            (jnp.asarray(rng.normal(scale=0.1, size=(64, num_classes)), jnp.float32),
+             jnp.zeros(num_classes)),
+        ]
 
     n_pad = part.num_nodes_padded
-    x_np = np.asarray(graph.x)
     x_p = np.zeros((n_pad, x_np.shape[1]), np.float32)
     x_p[:num_nodes] = x_np
     y_p = np.zeros(n_pad, np.int32)
@@ -56,13 +83,6 @@ def measure(num_devices, graph, use_rcm=True, steps=10):
     mask = np.zeros(n_pad, np.float32)
     mask[:num_nodes] = 1.0
 
-    rng = np.random.default_rng(0)
-    params = [
-        (jnp.asarray(rng.normal(scale=0.1, size=(x_np.shape[1], 64)), jnp.float32),
-         jnp.zeros(64)),
-        (jnp.asarray(rng.normal(scale=0.1, size=(64, num_classes)), jnp.float32),
-         jnp.zeros(num_classes)),
-    ]
     opt_state = optimizer.init(params)
     args = (jnp.asarray(x_p), jnp.asarray(y_p), jnp.asarray(mask))
 
@@ -92,14 +112,15 @@ def main():
     import jax
     from tf_geometric_tpu.datasets.synthetic_citation import synthetic_citation_graph
 
+    model = os.environ.get("TFG_SCALING_MODEL", "gcn")  # gcn | gat
     graph = synthetic_citation_graph(num_nodes=20_000, num_features=64,
                                      num_classes=40, avg_degree=8, seed=0)
     max_devices = len(jax.devices())
     counts = [c for c in (1, 2, 4, 8, 16) if c <= max_devices]
-    results = {}
+    results = {"model": model}
     base = None
     for c in counts:
-        eps, halo_frac = measure(c, graph)
+        eps, halo_frac = measure(c, graph, model=model)
         if base is None:
             base = eps
         eff = eps / (base * c)
