@@ -318,3 +318,14 @@ def test_gat_ell_cache_matches_plain(rng):
         wk, z, jax.nn.relu, w, num_heads=2) ** 2))(wv)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_plain),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_gcn_single_node_no_edges():
+    """Degenerate graph: 1 node, 0 edges — self-loop renorm still yields xW."""
+    import tf_geometric_tpu as tfg
+    from tf_geometric_tpu.sparse import SparseMatrix
+    x = jnp.ones((1, 4))
+    adj = SparseMatrix(np.zeros((2, 0), np.int32), np.zeros(0, np.float32),
+                       (1, 1))
+    out = tfg.nn.gcn(x, adj, jnp.ones((4, 2)))
+    np.testing.assert_allclose(np.asarray(out), [[4.0, 4.0]])

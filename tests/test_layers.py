@@ -155,3 +155,11 @@ def test_pool_layers(rng):
     s2s = Set2Set(num_iterations=2, num_graphs=3)
     out = init_apply(s2s, [x, inputs4[3]])
     assert out.shape == (3, 12)
+
+
+def test_layer_rejects_one_element_inputs():
+    import pytest
+    import tf_geometric_tpu.layers as L
+    layer = L.GCN(units=3)
+    with pytest.raises(ValueError, match="layer inputs"):
+        layer.init(jax.random.PRNGKey(0), [jnp.ones((2, 4))])

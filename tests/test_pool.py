@@ -183,3 +183,10 @@ def test_set2set(rng):
                       num_iterations=2, num_graphs=3)
     assert out.shape == (3, 2 * f)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_topk_pool_rejects_k_and_ratio():
+    import pytest
+    import tf_geometric_tpu as tfg
+    with pytest.raises(ValueError, match="not both"):
+        tfg.nn.topk_pool(jnp.zeros(4, jnp.int32), jnp.ones(4), k=2, ratio=0.5)
