@@ -100,8 +100,10 @@ def test_hetero_graph_and_batch(rng):
             x_dict={"a": r.normal(size=(4, 3)).astype(np.float32),
                     "b": r.normal(size=(6, 2)).astype(np.float32)},
             edge_index_dict={("a", "r", "b"):
-                             r.integers(0, 4, size=(2, 8)).astype(np.int64) %
-                             np.array([[6], [4]])},
+                             # repo convention: ei[0] = src-typed ("a", 4
+                             # nodes), ei[1] = dst-typed ("b", 6 nodes)
+                             r.integers(0, 24, size=(2, 8)).astype(np.int64) %
+                             np.array([[4], [6]])},
             y_dict={"a": r.integers(0, 2, 4)},
         )
     g = hg(0)
@@ -113,7 +115,18 @@ def test_hetero_graph_and_batch(rng):
     assert batch.num_graphs == 2
     assert batch.x_dict["a"].shape == (8, 3)
     assert batch.x_dict["b"].shape == (12, 2)
-    assert batch.edge_index_dict[("a", "r", "b")].shape[1] == 16
+    ei = batch.edge_index_dict[("a", "r", "b")]
+    assert ei.shape[1] == 16
+    # offsets applied per endpoint TYPE: src ids stay < 8, dst ids < 12,
+    # and the second graph's edges land in the second graph's id ranges
+    assert ei[0].max() < 8 and ei[1].max() < 12
+    assert (ei[0, 8:] >= 4).all() and (ei[1, 8:] >= 6).all()
+    # class-preserving non-inplace reversal keeps batch bookkeeping
+    rev = batch.add_reversed_edges(inplace=False)
+    assert isinstance(rev, HeteroBatchGraph)
+    assert rev.num_graphs == 2
+    assert ("b", "r.r", "a") in rev.edge_index_dict
+    assert ("b", "r.r", "a") not in batch.edge_index_dict
 
 
 def test_random_neighbor_sampler_padding(rng):
@@ -214,3 +227,94 @@ def test_sparse_features_through_gcn(rng):
     out_dense = tnn.gcn(jnp.eye(n), adj, w)
     np.testing.assert_allclose(np.asarray(out_sparse), np.asarray(out_dense),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_batch_graph_conversions_preserve_class(rng):
+    x, ei, ew = random_graph(rng, 6, 12, 3)
+    g1 = Graph(x, ei, rng.integers(0, 2, 1), ew)
+    g2 = Graph(x, ei, rng.integers(0, 2, 1), ew)
+    b = BatchGraph.from_graphs([g1, g2])
+    t = b.convert_data_to_tensor(inplace=False)
+    assert isinstance(t, BatchGraph) and t.num_graphs == 2
+    n = t.convert_data_to_numpy(inplace=False)
+    assert isinstance(n, BatchGraph) and n.num_graphs == 2
+
+
+def test_from_graphs_rejects_mixed_labels(rng):
+    import pytest
+    x, ei, ew = random_graph(rng, 6, 12, 3)
+    labeled = Graph(x, ei, np.int32(1), ew)
+    unlabeled = Graph(x, ei, None, ew)
+    with pytest.raises(ValueError, match="mixed labeling"):
+        BatchGraph.from_graphs([labeled, unlabeled])
+    with pytest.raises(ValueError, match="mixed labeling"):
+        BatchGraph.from_graphs([unlabeled, labeled])
+    b = BatchGraph.from_graphs([unlabeled, unlabeled])
+    assert b.y is None
+
+
+def test_from_graphs_edgeless_graph(rng):
+    x, ei, ew = random_graph(rng, 6, 12, 3)
+    b = BatchGraph.from_graphs([Graph(x, ei, None, ew), Graph(x)])
+    assert b.num_edges == 12
+    assert b.num_nodes == 12
+    gs = b.to_graphs()
+    assert gs[1].num_edges == 0
+
+
+def test_to_graphs_sparse_x_roundtrip(rng):
+    from tf_geometric_tpu.sparse import SparseMatrix
+    x, ei, ew = random_graph(rng, 5, 10, 4)
+    sx = SparseMatrix.from_dense(np.where(np.abs(x) > 0.5, x, 0.0))
+    g = Graph(sx, ei, None, ew)
+    b = BatchGraph.from_graphs([g, g])
+    gs = b.to_graphs()
+    assert len(gs) == 2
+    for sub in gs:
+        np.testing.assert_allclose(np.asarray(sub.x.to_dense()),
+                                   np.asarray(sx.to_dense()), rtol=1e-6)
+        np.testing.assert_array_equal(sub.edge_index, ei)
+
+
+def test_to_graphs_interleaved_node_graph_index():
+    # legal via the public constructor: nodes of the two graphs interleaved
+    x = np.arange(8, dtype=np.float32).reshape(4, 2)
+    ngi = np.array([0, 1, 0, 1], np.int32)
+    # graph 0 owns global nodes {0, 2} (local 0, 1); edge 0->2 is local 0->1
+    ei = np.array([[0], [2]], np.int32)
+    egi = np.array([0], np.int32)
+    b = BatchGraph(x=x, edge_index=ei, node_graph_index=ngi,
+                   edge_graph_index=egi, edge_weight=np.ones(1, np.float32))
+    g0, g1 = b.to_graphs()
+    np.testing.assert_array_equal(g0.edge_index, [[0], [1]])
+    np.testing.assert_array_equal(g0.x, x[[0, 2]])
+    assert g1.num_edges == 0
+
+
+def test_negative_sampling_with_start_node_raises_when_saturated():
+    import pytest
+    from tf_geometric_tpu.utils import graph_utils as gu2
+    ei = np.array([[0], [1]])
+    with pytest.raises(ValueError, match="non-neighbor"):
+        gu2.negative_sampling_with_start_node([0], 2, edge_index=ei, rng=0)
+
+
+def test_convert_edge_to_nx_graph_properties_and_directed():
+    from tf_geometric_tpu.utils import graph_utils as gu2
+    ei = np.array([[0, 1], [1, 2]])
+    w = np.array([0.5, 2.0], np.float32)
+    g = gu2.convert_edge_to_nx_graph(ei, edge_properties=[w],
+                                     convert_to_directed=True)
+    assert g.is_directed()
+    assert g.edges[0, 1]["p_0"] == np.float32(0.5)
+    assert g.edges[1, 0]["p_0"] == np.float32(0.5)  # to_directed mirrors
+
+
+def test_convert_x_to_3d_pad_false_caps_k(rng):
+    from tf_geometric_tpu.utils import graph_utils as gu2
+    x = rng.normal(size=(4, 2)).astype(np.float32)
+    src = np.array([0, 0, 1, 1])
+    out = gu2.convert_x_to_3d(x, src, k=5, pad=False)
+    assert out.shape == (2, 2, 2)
+    out_padded = gu2.convert_x_to_3d(x, src, k=5, pad=True)
+    assert out_padded.shape == (2, 5, 2)

@@ -106,11 +106,17 @@ class Graph:
                             (n, n))
 
     # -- conversions ----------------------------------------------------------
+    def _copy_for_conversion(self) -> "Graph":
+        """Shallow class-preserving copy (keeps BatchGraph fields like
+        ``graphs``) with an independent cache dict."""
+        import copy
+        target = copy.copy(self)
+        target.cache = dict(self.cache)
+        return target
+
     def convert_data_to_tensor(self, inplace: bool = True) -> "Graph":
         """Move arrays onto the default JAX device (data/graph.py:221-233)."""
-        target = self if inplace else Graph.__new__(Graph)
-        if not inplace:
-            target.cache = dict(self.cache)
+        target = self if inplace else self._copy_for_conversion()
         from ..sparse.matrix import SparseMatrix
         for f in self._FIELDS:
             v = getattr(self, f)
@@ -120,9 +126,7 @@ class Graph:
         return target
 
     def convert_data_to_numpy(self, inplace: bool = True) -> "Graph":
-        target = self if inplace else Graph.__new__(Graph)
-        if not inplace:
-            target.cache = dict(self.cache)
+        target = self if inplace else self._copy_for_conversion()
         from ..sparse.matrix import SparseMatrix
         for f in self._FIELDS:
             v = getattr(self, f)
@@ -215,14 +219,26 @@ class BatchGraph(Graph):
         for gid, g in enumerate(graphs):
             n, e = g.num_nodes, g.num_edges
             xs.append(g.x)
-            eis.append(convert_union_to_numpy(g.edge_index, np.int64) + node_offset)
+            if g.edge_index is None:
+                eis.append(np.zeros((2, 0), np.int64))
+            else:
+                eis.append(convert_union_to_numpy(g.edge_index, np.int64) + node_offset)
             ews.append(convert_union_to_numpy(g.edge_weight, np.float32)
                        if g.edge_weight is not None else np.ones(e, np.float32))
             if g.y is not None:
                 ys.append(np.atleast_1d(convert_union_to_numpy(g.y)))
+            elif ys:
+                raise ValueError(
+                    f"from_graphs: graph {gid} has y=None while earlier "
+                    "graphs are labeled — mixed labeling would silently "
+                    "misalign y with graph ids")
             ngi.append(np.full(n, gid, np.int32))
             egi.append(np.full(e, gid, np.int32))
             node_offset += n
+        if ys and len(ys) != len(graphs):
+            raise ValueError(
+                "from_graphs: some graphs have y=None while others are "
+                "labeled — mixed labeling would silently misalign y")
         if use_sparse_x:
             x = sparse_concat([g.x for g in graphs], axis=0)  # data/graph.py:515
         else:
@@ -239,25 +255,42 @@ class BatchGraph(Graph):
         )
 
     def to_graphs(self) -> List[Graph]:
-        """Split the union back into individual graphs (data/graph.py:396-461)."""
+        """Split the union back into individual graphs (data/graph.py:396-461).
+
+        Handles SparseMatrix ``x`` (the from_graphs sparse path round-trips)
+        and non-contiguous ``node_graph_index`` (local ids are assigned by
+        position within each graph, not by a global offset)."""
+        from ..sparse.matrix import SparseMatrix
         ngi = convert_union_to_numpy(self.node_graph_index, np.int64)
         egi = convert_union_to_numpy(self.edge_graph_index, np.int64)
-        x = convert_union_to_numpy(self.x)
+        x_is_sparse = isinstance(self.x, SparseMatrix)
+        x = self.x if x_is_sparse else convert_union_to_numpy(self.x)
         ei = convert_union_to_numpy(self.edge_index, np.int64)
         ew = convert_union_to_numpy(self.edge_weight, np.float32)
         y = convert_union_to_numpy(self.y)
         num_graphs = self.num_graphs
+        # local id of each node = its rank among same-graph nodes (in input
+        # order) — correct even when node_graph_index is interleaved
         node_counts = np.bincount(ngi, minlength=num_graphs)
-        offsets = np.concatenate([[0], np.cumsum(node_counts)])
+        starts = np.concatenate([[0], np.cumsum(node_counts)[:-1]])
+        order = np.argsort(ngi, kind="stable")
+        local = np.empty(len(ngi), np.int64)
+        local[order] = np.arange(len(ngi)) - starts[ngi[order]]
         graphs = []
         for gid in range(num_graphs):
             nmask = ngi == gid
             emask = egi == gid
-            sub_ei = ei[:, emask] - offsets[gid]
+            node_ids = np.nonzero(nmask)[0]
+            if x_is_sparse:
+                from ..utils.tf_sparse_utils import sparse_gather_sub
+                sub_x = sparse_gather_sub(x, node_ids)
+            else:
+                sub_x = x[nmask]
+            sub_ei = local[ei[:, emask]]
             sub_y = None
             if y is not None:
                 sub_y = y[nmask] if union_len(y) == union_len(ngi) else y[gid]
-            graphs.append(Graph(x[nmask], sub_ei.astype(np.int32), sub_y, ew[emask]))
+            graphs.append(Graph(sub_x, sub_ei.astype(np.int32), sub_y, ew[emask]))
         return graphs
 
     def to_directed(self, merge_mode: str = "sum", inplace: bool = True) -> "BatchGraph":
@@ -331,10 +364,15 @@ class HeteroGraph:
         return {t: self.num_nodes_of(t) for t in self.node_types}
 
     def add_reversed_edges(self, inplace: bool = True) -> "HeteroGraph":
-        """Add (dst, "r.rel", src) mirror edges (data/graph.py:688-712)."""
-        target = self if inplace else HeteroGraph(
-            self.x_dict, dict(self.edge_index_dict), self.y_dict,
-            dict(self.edge_weight_dict))
+        """Add (dst, "r.rel", src) mirror edges (data/graph.py:688-712).
+        Class-preserving when ``inplace=False`` (HeteroBatchGraph keeps its
+        per-type graph-index dicts)."""
+        import copy
+        target = self if inplace else copy.copy(self)
+        if not inplace:
+            target.edge_index_dict = dict(self.edge_index_dict)
+            target.edge_weight_dict = dict(self.edge_weight_dict)
+            target.cache = {}
         for (src, rel, dst) in list(target.edge_index_dict.keys()):
             rev = (dst, "r." + rel, src)
             if rev in target.edge_index_dict:
@@ -401,8 +439,11 @@ class HeteroBatchGraph(HeteroGraph):
                 if t not in g.edge_index_dict:
                     continue
                 ei = convert_union_to_numpy(g.edge_index_dict[t], np.int64).copy()
-                ei[0] += offsets[dst_t][gid] if dst_t in offsets else 0
-                ei[1] += offsets[src_t][gid] if src_t in offsets else 0
+                # convention throughout this repo (loaders + hetero demos):
+                # for etype (src, rel, dst), edge_index[0] holds src-typed
+                # ids and edge_index[1] dst-typed ids
+                ei[0] += offsets[src_t][gid] if src_t in offsets else 0
+                ei[1] += offsets[dst_t][gid] if dst_t in offsets else 0
                 eis.append(ei)
                 ews.append(convert_union_to_numpy(g.edge_weight_dict[t], np.float32))
                 egis.append(np.full(ei.shape[1], gid, np.int32))

@@ -207,15 +207,23 @@ def convert_dense_assign_to_edge(dense_assign, node_graph_index=None,
 
 
 def convert_edge_to_nx_graph(edge_index, edge_properties=None, convert_to_directed=False):
-    """networkx view for interop (graph_utils.py:325-347)."""
+    """networkx view for interop (graph_utils.py:325-347): edge properties
+    attach as ``p_{j}`` attributes; ``convert_to_directed`` returns
+    ``g.to_directed()`` as the reference does."""
     import networkx as nx
     edge_index = convert_union_to_numpy(edge_index, np.int32)
-    if convert_to_directed:
-        props = None if edge_properties is None else list(edge_properties)
-        edge_index, edge_properties = convert_edge_to_directed(edge_index, props)
+    if edge_properties is None:
+        edge_properties = []
+    else:
+        edge_properties = [None if p is None else convert_union_to_numpy(p)
+                           for p in edge_properties]
     g = nx.Graph()
     for i in range(edge_index.shape[1]):
-        g.add_edge(int(edge_index[0, i]), int(edge_index[1, i]))
+        props = {f"p_{j}": p[i] for j, p in enumerate(edge_properties)
+                 if p is not None}
+        g.add_edge(int(edge_index[0, i]), int(edge_index[1, i]), **props)
+    if convert_to_directed:
+        g = g.to_directed()
     return g
 
 
@@ -283,12 +291,17 @@ def negative_sampling_with_start_node(start_node_index, num_nodes, edge_index=No
             taken.add((int(r), int(c)))
             taken.add((int(c), int(r)))
     ends = np.empty(len(start_node_index), np.int32)
+    max_tries = max(100, 20 * num_nodes)
     for i, s in enumerate(start_node_index):
-        while True:
+        for _ in range(max_tries):
             c = int(rng.integers(0, num_nodes))
             if c != s and (int(s), c) not in taken:
                 ends[i] = c
                 break
+        else:
+            raise ValueError(
+                f"negative_sampling_with_start_node: no non-neighbor exists "
+                f"for start node {int(s)} (node is adjacent to all others)")
     return np.stack([start_node_index.astype(np.int32), ends], axis=0)
 
 
@@ -426,8 +439,10 @@ def convert_x_to_3d(x, source_index, k=None, pad=True):
     source_index = convert_union_to_numpy(source_index, np.int64)
     num_sources = int(source_index.max()) + 1 if source_index.size else 0
     counts = np.bincount(source_index, minlength=num_sources)
-    if k is None:
-        k = int(counts.max()) if counts.size else 0
+    max_count = int(counts.max()) if counts.size else 0
+    if k is None or (not pad and k > max_count):
+        # pad=False caps k at the actual max group size (reference :240-242)
+        k = max_count
     order = np.argsort(source_index, kind="stable")
     pos_in_group = np.arange(len(source_index)) - np.repeat(
         np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
