@@ -155,6 +155,11 @@ class Graph:
     def sample_new_graph_by_node_index(self, sampled_node_index) -> "Graph":
         """Node-induced subgraph with relabeled edges. Host-side (dynamic
         shapes); for jit-safe subgraphing use masking (see nn/pool)."""
+        return self._sample_subgraph(sampled_node_index)[0]
+
+    def _sample_subgraph(self, sampled_node_index):
+        """Shared core: returns (subgraph, kept-edge mask) so subclasses can
+        slice their extra per-edge fields without recomputing the mask."""
         from ..utils.graph_utils import (compute_edge_mask_by_node_index,
                                          reindex_sampled_edge_index)
         node_index = convert_union_to_numpy(sampled_node_index, np.int64)
@@ -174,7 +179,7 @@ class Graph:
                       else convert_union_to_numpy(self.edge_weight)[mask])
         y = convert_union_to_numpy(self.y)
         new_y = None if y is None else (y[node_index] if union_len(y) == self.num_nodes else y)
-        return Graph(new_x, new_edge_index, new_y, new_weight)
+        return Graph(new_x, new_edge_index, new_y, new_weight), mask
 
     def __repr__(self):
         return (f"Graph(num_nodes={self.num_nodes}, num_edges={self.num_edges}, "
@@ -311,12 +316,8 @@ class BatchGraph(Graph):
     def sample_new_graph_by_node_index(self, sampled_node_index) -> "BatchGraph":
         """Subgraph keeping batch bookkeeping (data/graph.py:276-359 handles
         BatchGraph extras)."""
-        base = Graph.sample_new_graph_by_node_index(self, sampled_node_index)
+        base, mask = self._sample_subgraph(sampled_node_index)
         node_index = convert_union_to_numpy(sampled_node_index, np.int64)
-        from ..utils.graph_utils import compute_edge_mask_by_node_index
-        mask = np.asarray(compute_edge_mask_by_node_index(
-            convert_union_to_numpy(self.edge_index, np.int64), node_index,
-            num_nodes=self.num_nodes))
         ngi = convert_union_to_numpy(self.node_graph_index, np.int32)[node_index]
         egi = convert_union_to_numpy(self.edge_graph_index, np.int32)[mask]
         return BatchGraph(base.x, base.edge_index, ngi, egi, base.y, base.edge_weight)

@@ -522,22 +522,16 @@ class RandomNeighborSampler:
             return self._sample_fixed_k(sources, k,
                                         virtual=sampled_node_index is not None)
 
+        # every padding=True draw with a concrete k took the fixed-k fast
+        # path above, so this loop only handles the without-replacement modes
         rows, cols, weights = [], [], []
         for local_id, src in enumerate(sources):
             start, end = self.row_ptr[src], self.row_ptr[src + 1]
             deg = int(end - start)
             if deg == 0:
-                if padding and k:
-                    # self-padding: repeat the source itself with zero weight
-                    rows.append(np.full(k, local_id if sampled_node_index is not None
-                                        else src, np.int64))
-                    cols.append(np.full(k, src, np.int64))
-                    weights.append(np.zeros(k, np.float32))
                 continue
             if k is not None:
-                take = min(k, deg) if not padding else k
-                replace = padding and deg < k
-                pick = self.rng.choice(deg, size=take, replace=replace)
+                pick = self.rng.choice(deg, size=min(k, deg), replace=False)
             elif ratio is not None:
                 take = max(1, int(deg * ratio))
                 pick = self.rng.choice(deg, size=take, replace=False)
