@@ -329,3 +329,90 @@ def test_gcn_single_node_no_edges():
                        (1, 1))
     out = tfg.nn.gcn(x, adj, jnp.ones((4, 2)))
     np.testing.assert_allclose(np.asarray(out), [[4.0, 4.0]])
+
+
+def test_gcn_cache_override_invalidates_derived_entries(rng):
+    """override=True must drop the :ell / :propagated twins or forwards keep
+    aggregating with the OLD adjacency."""
+    from tf_geometric_tpu.nn.conv.gcn import (compute_cache_key, gcn,
+                                              gcn_build_cache_by_adj,
+                                              maybe_compile_ell,
+                                              precompute_propagated_features)
+    from tf_geometric_tpu.sparse import SparseMatrix
+    x = jnp.asarray(rng.normal(size=(6, 4)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(4, 3)), jnp.float32)
+    ei1 = np.array([[0, 1, 2], [1, 2, 3]], np.int32)
+    ei2 = np.array([[0, 4, 5], [5, 3, 1]], np.int32)
+    adj1 = SparseMatrix(ei1, None, (6, 6))
+    adj2 = SparseMatrix(ei2, None, (6, 6))
+
+    cache = gcn_build_cache_by_adj(adj1)
+    key = compute_cache_key("both", True, True, True, False)
+    # materialize both derived entries
+    maybe_compile_ell(SparseMatrix(*cache[key]), cache, key)
+    precompute_propagated_features(x, adj1, cache=cache)
+    assert (key + ":ell") in cache and (key + ":propagated") in cache
+
+    gcn_build_cache_by_adj(adj2, override=True, cache=cache)
+    assert cache.get(key + ":ell") is None
+    assert cache.get(key + ":propagated") is None
+    out_cached = gcn(x, adj2, k, cache=cache)
+    out_fresh = gcn(x, adj2, k)
+    np.testing.assert_allclose(np.asarray(out_cached), np.asarray(out_fresh),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gcn_sparse_x_no_kernel_with_cache(rng):
+    """kernel=None + SparseMatrix x must not hit the ELL twin (it cannot
+    consume a sparse operand)."""
+    from tf_geometric_tpu.nn.conv.gcn import gcn, gcn_build_cache_by_adj
+    from tf_geometric_tpu.sparse import SparseMatrix
+    dense = np.where(rng.random((6, 4)) > 0.5, 1.0, 0.0).astype(np.float32)
+    sx = SparseMatrix.from_dense(dense)
+    ei = np.array([[0, 1, 2, 4], [1, 2, 3, 5]], np.int32)
+    adj = SparseMatrix(ei, None, (6, 6))
+    cache = gcn_build_cache_by_adj(adj)
+    out_cached = gcn(sx, adj, None, cache=cache)  # sparse@sparse chain
+    out_plain = gcn(np.asarray(dense), adj, None)
+    np.testing.assert_allclose(np.asarray(out_cached.to_dense()),
+                               np.asarray(out_plain), rtol=1e-5, atol=1e-6)
+
+
+def test_chebynet_cache_key_includes_lambda_mode(rng):
+    from tf_geometric_tpu.nn.conv.chebynet import chebynet_norm_edge
+    _, ei, ew = __import__("tests.conftest", fromlist=["random_graph"]) \
+        .random_graph(rng, 8, 20, 1)
+    cache = {}
+    _, w_static = chebynet_norm_edge(ei, 8, ew, cache=cache,
+                                     use_dynamic_lambda_max=False)
+    _, w_dyn = chebynet_norm_edge(ei, 8, ew, cache=cache,
+                                  use_dynamic_lambda_max=True)
+    assert len(cache) == 2  # separate entries — no silent stale reuse
+    assert not np.allclose(np.asarray(w_static), np.asarray(w_dyn))
+
+
+def test_gat_rejects_partial_layout_args(rng):
+    import pytest
+    from tf_geometric_tpu.nn.conv.gat import gat
+    x = jnp.asarray(rng.normal(size=(5, 4)), jnp.float32)
+    ei = np.array([[0, 1], [1, 2]], np.int32)
+    w = jnp.asarray(rng.normal(size=(4, 4)), jnp.float32)
+    with pytest.raises(ValueError, match="together"):
+        gat(x, ei, w, jnp.zeros(4), None, w, jnp.zeros(4), None, w,
+            sorted_edge_index=jnp.asarray(ei))
+
+
+def test_adj_norm_edge_does_not_cache_tracers(rng):
+    from tf_geometric_tpu.utils.graph_utils import adj_norm_edge
+    ei = np.array([[0, 1, 2], [1, 2, 0]], np.int32)
+    cache = {}
+
+    @jax.jit
+    def f(w):
+        _, normed = adj_norm_edge(ei, 3, w, cache=cache)
+        return normed.sum()
+
+    f(jnp.ones(3))
+    assert cache == {}  # nothing stored under trace
+    adj_norm_edge(ei, 3, np.ones(3, np.float32), cache=cache)
+    assert len(cache) == 1  # eager call caches fine

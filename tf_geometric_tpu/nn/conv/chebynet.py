@@ -16,12 +16,15 @@ from ...utils.graph_utils import (LaplacianMaxEigenvalue, get_laplacian,
 __all__ = ["chebynet", "chebynet_norm_edge", "chebynet_cache_normed_edge",
            "compute_cache_key"]
 
-CACHE_KEY_CHEBYNET_NORMED_EDGE_TEMPLATE = "chebynet_normed_edge_{}"
+CACHE_KEY_CHEBYNET_NORMED_EDGE_TEMPLATE = "chebynet_normed_edge_{}_{}"
 
 
-def compute_cache_key(normalization_type):
-    """chebynet.py:10-21."""
-    return CACHE_KEY_CHEBYNET_NORMED_EDGE_TEMPLATE.format(normalization_type)
+def compute_cache_key(normalization_type, use_dynamic_lambda_max=False):
+    """chebynet.py:10-21 (+ the lambda_max mode — the reference keys only on
+    normalization, so toggling use_dynamic_lambda_max silently reused the
+    stale scaling; we include it)."""
+    return CACHE_KEY_CHEBYNET_NORMED_EDGE_TEMPLATE.format(
+        normalization_type, use_dynamic_lambda_max)
 
 
 def chebynet_norm_edge(edge_index, num_nodes: int, edge_weight=None,
@@ -30,7 +33,7 @@ def chebynet_norm_edge(edge_index, num_nodes: int, edge_weight=None,
     """Scaled Laplacian edges (chebynet.py:39-62). Host-side precompute
     (self-loop removal is dynamic-shaped); cache the result before jit."""
     if cache is not None:
-        cache_key = compute_cache_key(normalization_type)
+        cache_key = compute_cache_key(normalization_type, use_dynamic_lambda_max)
         cached = cache.get(cache_key, None)
         if cached is not None:
             return cached
@@ -49,7 +52,7 @@ def chebynet_norm_edge(edge_index, num_nodes: int, edge_weight=None,
 
     result = (lap_index, scaled_weight)
     if cache is not None:
-        cache[compute_cache_key(normalization_type)] = result
+        cache[compute_cache_key(normalization_type, use_dynamic_lambda_max)] = result
     return result
 
 
@@ -57,7 +60,8 @@ def chebynet_cache_normed_edge(graph, normalization_type="sym",
                                use_dynamic_lambda_max=False, override=False):
     """chebynet.py:66-81."""
     if override:
-        graph.cache[compute_cache_key(normalization_type)] = None
+        graph.cache[compute_cache_key(normalization_type,
+                                      use_dynamic_lambda_max)] = None
     chebynet_norm_edge(graph.edge_index, graph.num_nodes, graph.edge_weight,
                        normalization_type,
                        use_dynamic_lambda_max=use_dynamic_lambda_max,

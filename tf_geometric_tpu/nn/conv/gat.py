@@ -76,7 +76,11 @@ def gat(x, edge_index,
     if num_nodes is None:
         num_nodes = x.shape[0]
 
-    if ell_layout is not None and sorted_edge_index is not None:
+    if ell_layout is not None or sorted_edge_index is not None:
+        if ell_layout is None or sorted_edge_index is None:
+            raise ValueError(
+                "pass ell_layout and sorted_edge_index together — the layout "
+                "indexes the sorted, self-looped edge list it was built from")
         edge_index = sorted_edge_index
     else:
         # self-attention includes each node itself (gat.py:43)

@@ -121,7 +121,13 @@ def gcn_build_cache_by_adj(sparse_adj: SparseMatrix, norm="both", add_self_loop=
     if cache is None:
         cache = {}
     elif override:
-        cache[compute_cache_key(norm, add_self_loop, sym, renorm, improved)] = None
+        key = compute_cache_key(norm, add_self_loop, sym, renorm, improved)
+        cache[key] = None
+        # derived entries are builds OF the base normalization — a rebuild
+        # must invalidate them too or maybe_compile_ell / the propagated-
+        # feature path keep serving the old adjacency
+        cache.pop(key + ":ell", None)
+        cache.pop(key + ":propagated", None)
     gcn_norm_adj(sparse_adj, norm, add_self_loop, sym, renorm, improved, cache)
     return cache
 
@@ -247,10 +253,6 @@ def gcn(x, sparse_adj: SparseMatrix, kernel, bias=None, activation=None,
     """
     normed_adj = gcn_norm_adj(sparse_adj, norm=norm, add_self_loop=add_self_loop,
                               sym=sym, renorm=renorm, improved=improved, cache=cache)
-    normed_adj = compile_and_dropout(
-        normed_adj, cache,
-        compute_cache_key(norm, add_self_loop, sym, renorm, improved),
-        edge_drop_rate, dropout_key, training)
 
     if kernel is None:
         h = x
@@ -258,6 +260,18 @@ def gcn(x, sparse_adj: SparseMatrix, kernel, bias=None, activation=None,
         h = x.matmul(kernel)
     else:
         h = x @ kernel
+
+    if isinstance(h, SparseMatrix):
+        # sparse propagation operand (kernel=None with sparse features):
+        # the ELL twin can't consume a SparseMatrix — keep the COO path
+        if training and edge_drop_rate > 0.0 and dropout_key is not None:
+            normed_adj = normed_adj.dropout(edge_drop_rate, key=dropout_key,
+                                            training=training)
+    else:
+        normed_adj = compile_and_dropout(
+            normed_adj, cache,
+            compute_cache_key(norm, add_self_loop, sym, renorm, improved),
+            edge_drop_rate, dropout_key, training)
 
     h = normed_adj.matmul(h, num_or_size_splits=num_or_size_splits)
 

@@ -44,6 +44,8 @@ def asap(x, edge_index, edge_weight, node_graph_index,
     num_nodes = x.shape[0]
 
     fixed_mode = k is not None and num_graphs is not None
+    if k is not None and ratio is not None:
+        raise ValueError("provide either k or ratio for asap, not both")
     if fixed_mode:
         # jit/grad-safe: self-loops are masked (static shapes), not filtered
         from ...utils.graph_utils import mask_self_loop_edge
@@ -62,7 +64,11 @@ def asap(x, edge_index, edge_weight, node_graph_index,
     row_sl, col_sl = edge_index_sl[0], edge_index_sl[1]
 
     adj = SparseMatrix(edge_index, edge_weight, (num_nodes, num_nodes))
-    attention_h = gcn(x, adj, attention_gcn_kernel, attention_gcn_bias, cache=cache)
+    # cache=None deliberately: this adjacency is the SELF-LOOP-STRIPPED graph
+    # — sharing the caller's cache would collide with the full graph's
+    # normalization under the same gcn key and silently serve the wrong Â
+    attention_h = gcn(x, adj, attention_gcn_kernel, attention_gcn_bias,
+                      cache=None)
 
     # query: per-cluster (per-node incl. self-loop) neighborhood max (asap.py:58-66)
     attention_query = aggregate_neighbors(

@@ -14,8 +14,10 @@ __all__ = ["mean_pool", "sum_pool", "max_pool", "min_pool"]
 
 
 def _resolve_num_graphs(node_graph_index, num_graphs):
+    """Static num_graphs (python int) from an explicit value or a device_get
+    of max(node_graph_index) — the shared resolver for every pooling op."""
     if num_graphs is None:
-        return int(jax.device_get(jnp.max(node_graph_index))) + 1
+        return int(jax.device_get(jnp.max(jnp.asarray(node_graph_index)))) + 1
     return int(num_graphs)
 
 

@@ -66,11 +66,24 @@ def batched_cluster_coarsen(h, edge_index, edge_weight, node_graph_index,
     return pooled_x, pooled_edge_index, pooled_edge_weight, pooled_node_graph_index
 
 
+def _check_assign_shape(dense_assign, num_nodes, num_clusters):
+    if num_nodes is not None and int(num_nodes) != dense_assign.shape[0]:
+        raise ValueError(f"num_nodes={num_nodes} does not match "
+                         f"dense_assign.shape[0]={dense_assign.shape[0]}")
+    if num_clusters is not None and int(num_clusters) != dense_assign.shape[1]:
+        raise ValueError(f"num_clusters={num_clusters} does not match "
+                         f"dense_assign.shape[1]={dense_assign.shape[1]}")
+
+
 def diff_pool_coarsen(x, edge_index, edge_weight, node_graph_index, dense_assign,
                       num_nodes=None, num_clusters=None, num_graphs: Optional[int] = None):
-    """diff_pool.py:8-52 with the batched-block layout above."""
-    if num_graphs is None:
-        num_graphs = int(jax.device_get(jnp.max(jnp.asarray(node_graph_index)))) + 1
+    """diff_pool.py:8-52 with the batched-block layout above.
+
+    ``num_nodes``/``num_clusters`` exist for reference-signature parity and
+    must match ``dense_assign``'s shape when given (validated, not used)."""
+    _check_assign_shape(dense_assign, num_nodes, num_clusters)
+    from .common_pool import _resolve_num_graphs
+    num_graphs = _resolve_num_graphs(node_graph_index, num_graphs)
     return batched_cluster_coarsen(x, edge_index, edge_weight, node_graph_index,
                                    dense_assign, num_graphs)
 

@@ -31,8 +31,8 @@ def min_cut_pool_compute_losses(edge_index, edge_weight, node_graph_index,
     """Returns (cut_loss, orth_loss) — scalars averaged over graphs."""
     num_nodes, num_clusters = dense_assign.shape
     node_graph_index = jnp.asarray(node_graph_index, jnp.int32)
-    if num_graphs is None:
-        num_graphs = int(jax.device_get(jnp.max(node_graph_index))) + 1
+    from .common_pool import _resolve_num_graphs
+    num_graphs = _resolve_num_graphs(node_graph_index, num_graphs)
     if normed_edge_weight is None:
         _, normed_edge_weight = adj_norm_edge(edge_index, num_nodes, edge_weight,
                                               add_self_loop=False, cache=cache)
@@ -70,11 +70,16 @@ def min_cut_pool_coarsen(x, edge_index, edge_weight, node_graph_index, dense_ass
                          num_nodes=None, num_clusters=None,
                          num_graphs: Optional[int] = None,
                          normed_edge_weight=None, cache=None):
-    """min_cut_pool.py:93-146: coarsen over Ã, then zero pooled self-loops."""
+    """min_cut_pool.py:93-146: coarsen over Ã, then zero pooled self-loops.
+
+    ``num_nodes``/``num_clusters`` exist for reference-signature parity and
+    must match ``dense_assign``'s shape when given (validated, not used)."""
+    from .diff_pool import _check_assign_shape
+    _check_assign_shape(dense_assign, num_nodes, num_clusters)
     n = dense_assign.shape[0]
     node_graph_index = jnp.asarray(node_graph_index, jnp.int32)
-    if num_graphs is None:
-        num_graphs = int(jax.device_get(jnp.max(node_graph_index))) + 1
+    from .common_pool import _resolve_num_graphs
+    num_graphs = _resolve_num_graphs(node_graph_index, num_graphs)
     if edge_weight is None:
         edge_weight = jnp.ones((edge_index.shape[1],), jnp.float32)
     if normed_edge_weight is None:

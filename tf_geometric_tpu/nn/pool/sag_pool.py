@@ -21,11 +21,7 @@ from .topk_pool import topk_pool, topk_pool_fixed
 __all__ = ["sag_pool"]
 
 
-def _num_graphs_of(node_graph_index, num_graphs):
-    if num_graphs is not None:
-        return int(num_graphs)
-    import jax.numpy as jnp
-    return int(jax.device_get(jnp.max(jnp.asarray(node_graph_index)))) + 1
+from .common_pool import _resolve_num_graphs
 
 
 def sag_pool(x, edge_index, edge_weight, node_graph_index,
@@ -42,7 +38,7 @@ def sag_pool(x, edge_index, edge_weight, node_graph_index,
     scaled_x = x * scaled_score.reshape(scaled_score.shape[0], -1)
 
     if k is not None:
-        g = _num_graphs_of(node_graph_index, num_graphs)
+        g = _resolve_num_graphs(node_graph_index, num_graphs)
         idx, valid = topk_pool_fixed(node_graph_index, node_score, g, k)
         return induced_subgraph_fixed(scaled_x, edge_index, edge_weight,
                                       node_graph_index, idx, valid, g)

@@ -22,9 +22,9 @@ def set2set(x, node_graph_index, lstm: Callable, num_iterations: int,
             training=None, num_graphs: Optional[int] = None):
     """Set2Set readout (reference nn/pool/set2set.py:8-42): LSTM + content
     attention for num_iterations; output [num_graphs, 2F]."""
+    from .common_pool import _resolve_num_graphs
     node_graph_index = jnp.asarray(node_graph_index)
-    if num_graphs is None:
-        num_graphs = int(jax.device_get(jnp.max(node_graph_index))) + 1
+    num_graphs = _resolve_num_graphs(node_graph_index, num_graphs)
     units = x.shape[-1]
 
     h = jnp.zeros((num_graphs, units * 2), x.dtype)

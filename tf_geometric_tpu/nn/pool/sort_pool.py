@@ -22,9 +22,8 @@ def sort_pool(x, edge_index, edge_weight, node_graph_index,
     score = x[:, sort_index]
     if k is not None:
         if num_graphs is None:
-            import jax.numpy as jnp
-            num_graphs = int(jax.device_get(
-                jnp.max(jnp.asarray(node_graph_index)))) + 1
+            from .common_pool import _resolve_num_graphs
+            num_graphs = _resolve_num_graphs(node_graph_index, None)
         idx, valid = topk_pool_fixed(node_graph_index, score, num_graphs, k)
         return induced_subgraph_fixed(x, edge_index, edge_weight,
                                       node_graph_index, idx, valid, num_graphs)

@@ -60,31 +60,29 @@ def topk_pool_fixed(source_index, score, num_sources: int, k: int):
 
     Returns ``(indices [num_sources*k], valid [num_sources*k])`` where
     invalid slots (source has fewer than k targets) point at index 0 with
-    ``valid=False``. Built on a padded [num_sources, max_bucket] score matrix
-    + ``jax.lax.top_k`` — static shapes throughout.
+    ``valid=False``. One lexsort by (source asc, score desc) and one small
+    [num_sources, k] gather — O(n log n), no [num_sources, n] dense
+    materialization. Out-of-range sources (padded entries) are dropped.
     """
     source_index = jnp.asarray(source_index)
     score = jnp.asarray(score).reshape(-1)
     n = score.shape[0]
+    if n == 0:
+        return (jnp.zeros(num_sources * k, jnp.int32),
+                jnp.zeros(num_sources * k, bool))
 
-    order = jnp.argsort(source_index)
-    sorted_src = jnp.take(source_index, order)
+    # padded / out-of-range sources sort to the very end (sentinel group)
+    safe_src = jnp.where((source_index >= 0) & (source_index < num_sources),
+                         source_index, num_sources).astype(jnp.int32)
+    order = jnp.lexsort((-score, safe_src))          # source asc, score desc
+    sorted_src = jnp.take(safe_src, order)
     counts = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), sorted_src,
-                                 num_segments=num_sources)
+                                 num_segments=num_sources,
+                                 indices_are_sorted=True)
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-    slot = jnp.arange(n, dtype=jnp.int32) - jnp.take(
-        starts, jnp.clip(sorted_src, 0, num_sources - 1))
-
-    neg_inf = jnp.asarray(-jnp.inf, score.dtype)
-    matrix = jnp.full((num_sources, n), neg_inf)
-    safe_src = jnp.where((sorted_src >= 0) & (sorted_src < num_sources),
-                         sorted_src, num_sources)
-    matrix = matrix.at[safe_src, slot].set(jnp.take(score, order), mode="drop")
-    flat_pos = jnp.full((num_sources, n), 0, jnp.int32)
-    flat_pos = flat_pos.at[safe_src, slot].set(order.astype(jnp.int32), mode="drop")
-
-    top_scores, top_cols = jax.lax.top_k(matrix, k)          # [S, k]
-    valid = jnp.isfinite(top_scores)
-    indices = jnp.take_along_axis(flat_pos, top_cols, axis=1)
-    return indices.reshape(-1), valid.reshape(-1)
+    pos = starts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]  # [S, k]
+    valid = jnp.arange(k, dtype=jnp.int32)[None, :] < counts[:, None]
+    indices = jnp.take(order, jnp.clip(pos.reshape(-1), 0, n - 1))
+    indices = jnp.where(valid.reshape(-1), indices, 0).astype(jnp.int32)
+    return indices, valid.reshape(-1)

@@ -412,7 +412,9 @@ def adj_norm_edge(edge_index, num_nodes: int, edge_weight=None,
     safe_col = jnp.clip(col, 0, num_nodes - 1)
     normed = dinv[safe_row] * edge_weight * dinv[safe_col]
     result = (edge_index, normed)
-    if cache is not None:
+    # never store tracers: a jitted caller's first trace would poison the
+    # cache for every later call (mirrors gcn_norm_adj's eager-only guard)
+    if cache is not None and not isinstance(normed, jax.core.Tracer):
         cache[f"adj_normed_edge_{add_self_loop}"] = result
     return result
 
