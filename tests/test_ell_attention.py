@@ -208,3 +208,30 @@ def test_multihead_ell_split_diag_matches_packed(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gv_s), np.asarray(gv_p),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_attention_isolated_node_empty_row(rng):
+    """split_diag layout with an isolated node (no self-loop): its diag slot
+    is the sentinel, and the row must aggregate to exactly 0 (not V[row])."""
+    from tf_geometric_tpu.ops.ell import EllAdj
+    from tf_geometric_tpu.ops.ell_attention import (build_gat_layout,
+                                                    gat_attention_ell)
+    N, H, d = 6, 2, 4
+    # edges among nodes 0..3 with self-loops; nodes 4 and 5 fully isolated
+    ei = np.array([[0, 1, 2, 3, 0, 1], [0, 1, 2, 3, 1, 2]], np.int32)
+    ell = EllAdj.from_coo(ei, np.ones(ei.shape[1], np.float32), (N, N),
+                          split_diag=True)
+    layout = build_gat_layout(ell)
+    Q = jnp.asarray(rng.normal(size=(N, H * d)), jnp.float32)
+    K = jnp.asarray(rng.normal(size=(N, H * d)), jnp.float32)
+    V = jnp.asarray(rng.normal(size=(N, H * d)), jnp.float32)
+    out = gat_attention_ell(layout, Q, K, V, H)
+    np.testing.assert_allclose(np.asarray(out[4:]), 0.0, atol=1e-7)
+    assert np.abs(np.asarray(out[:4])).sum() > 0
+
+    # gradients must not leak through the empty rows either
+    def loss(v):
+        return (gat_attention_ell(layout, Q, K, v, H) ** 2).sum()
+
+    dV = np.asarray(jax.grad(loss)(V))
+    np.testing.assert_allclose(dV[4:], 0.0, atol=1e-7)

@@ -122,3 +122,42 @@ def test_spmm_grad_matches_dense_grad(rng):
     ga = np.asarray(ga)
     np.testing.assert_allclose(np.asarray(gv), ga[edge_index[0], edge_index[1]],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_concat_keeps_padded_entries_out_of_range():
+    """Padded (out-of-range) entries must not shift into the next block's
+    valid rows, and a narrow part's other-axis sentinels must stay invalid."""
+    from tf_geometric_tpu.sparse import SparseMatrix, concat
+    # A: 3x3 with one real entry and one padded entry at row==3 (value 5 to
+    # make any leak visible), B: 3x3 real
+    A = SparseMatrix(np.array([[0, 3], [1, 0]], np.int32),
+                     np.array([1.0, 5.0], np.float32), (3, 3))
+    B = SparseMatrix(np.array([[0], [2]], np.int32),
+                     np.array([2.0], np.float32), (3, 3))
+    C = concat([A, B], axis=0)
+    assert C.shape == (6, 3)
+    dense = np.asarray(C.to_dense())
+    expected = np.zeros((6, 3), np.float32)
+    expected[0, 1] = 1.0
+    expected[3, 2] = 2.0
+    np.testing.assert_allclose(dense, expected)  # no phantom 5.0 at row 3
+    # segment ops must not count the phantom entry either: row 3's mean is
+    # its single real entry, not diluted by a phantom zero
+    means = np.asarray(C.segment_mean(axis=-1))
+    np.testing.assert_allclose(means[3], 2.0, rtol=1e-6)
+
+
+def test_sparse_matrix_validates_inputs():
+    from tf_geometric_tpu.sparse import SparseMatrix
+    with pytest.raises(ValueError, match=r"\[2, nnz\]"):
+        SparseMatrix(np.zeros((3, 4), np.int32), None, (4, 4))
+    with pytest.raises(ValueError, match="does not match nnz"):
+        SparseMatrix(np.zeros((2, 4), np.int32), np.ones(3, np.float32), (4, 4))
+
+
+def test_dropout_requires_key_when_training():
+    from tf_geometric_tpu.sparse import SparseMatrix
+    m = SparseMatrix(np.array([[0], [1]], np.int32), None, (2, 2))
+    with pytest.raises(ValueError, match="PRNG key"):
+        m.dropout(0.5, training=True)
+    assert m.dropout(0.5, training=False) is m

@@ -21,10 +21,14 @@ def drop_edge(inputs, rate: float = 0.5, force_undirected: bool = False,
     ``num_nodes``: the out-of-range sentinel for masked edges; defaults to
     ``max(edge_index)+1`` computed eagerly (pass explicitly under jit).
     """
-    if not training or key is None or rate <= 0.0:
-        return inputs
     if rate < 0.0 or rate > 1.0:
         raise ValueError(f"Dropout probability has to be between 0 and 1, got {rate}")
+    if not training or rate == 0.0:
+        return inputs
+    if key is None:
+        raise ValueError(
+            "drop_edge requires a PRNG key when training with rate > 0 "
+            "(a silent no-op would train without edge dropout)")
 
     edge_index, *edge_attrs = inputs
     edge_index = jnp.asarray(edge_index)

@@ -518,14 +518,9 @@ class EllAdj:
 
     # -- SparseMatrix-compatible surface -------------------------------------
     def matmul(self, h, num_or_size_splits=None):
-        if num_or_size_splits is None:
-            return ell_spmm(self, h)
-        if isinstance(num_or_size_splits, int):
-            chunks = jnp.array_split(h, num_or_size_splits, axis=-1)
-        else:
-            sections = np.cumsum(num_or_size_splits)[:-1]
-            chunks = jnp.split(h, sections, axis=-1)
-        return jnp.concatenate([ell_spmm(self, c) for c in chunks], axis=-1)
+        from ..sparse.matrix import chunked_feature_matmul
+        return chunked_feature_matmul(lambda c: ell_spmm(self, c), h,
+                                      num_or_size_splits)
 
     def __matmul__(self, h):
         return ell_spmm(self, h)

@@ -131,11 +131,13 @@ def _tail_scores(tail_row, tail_col, Q, K, H, d, inv_scale, num_rows):
 
 
 def _softmax_slots_tail(s_slots, s_tail, slot_valid, tail_valid, tail_row,
-                        num_rows, s_diag=None):
+                        num_rows, s_diag=None, diag_valid=None):
     """Destination softmax across (K slots ∪ tail ∪ diag lane) per row,
     denominator folded in; invalid entries → exactly 0 (empty rows aggregate
     to 0). ``s_diag`` [N, H] carries the split-out self-loop scores — a
-    fully dense lane (no gathers, no segment ops)."""
+    fully dense lane (no gathers, no segment ops); ``diag_valid`` [N] masks
+    rows whose diag slot is the padding sentinel (a row with NO valid entry
+    has row_max == _NEG, so exp(s_diag - row_max) would be 1 unmasked)."""
     H = s_slots.shape[-1]
     slot_max = s_slots.max(axis=1)                               # [N, H]
     if s_tail.shape[0]:
@@ -151,6 +153,8 @@ def _softmax_slots_tail(s_slots, s_tail, slot_valid, tail_valid, tail_row,
     denom = p_slots.sum(axis=1)
     if s_diag is not None:
         p_diag = jnp.exp(s_diag - row_max)                       # [N, H]
+        if diag_valid is not None:
+            p_diag = jnp.where(diag_valid[:, None], p_diag, 0.0)
         denom = denom + p_diag
     else:
         p_diag = None
@@ -220,8 +224,10 @@ def _fused_core(slots_col, slot_eid, tail_row, tail_col, diag_eid,
         s_diag = None
     slot_valid = slot_eid < num_edges
     tail_valid = tail_row < num_rows
+    diag_valid = (diag_eid < num_edges) if s_diag is not None else None
     a_slots, a_tail, a_diag = _softmax_slots_tail(
-        s_slots, s_tail, slot_valid, tail_valid, tail_row, num_rows, s_diag)
+        s_slots, s_tail, slot_valid, tail_valid, tail_row, num_rows, s_diag,
+        diag_valid)
     ad_slots = a_slots * keep_slots
     ad_tail = a_tail * keep_tail
     ad_diag = a_diag * keep_diag if a_diag is not None else None
@@ -247,20 +253,25 @@ def _fused_fwd(num_rows, num_edges, H, d,
                slots_col, slot_eid, tail_row, tail_col, diag_eid,
                t_slots_col, t_slot_pos, t_tail_row, t_tail_col, t_tail_pos,
                Q, K, V, keep_slots, keep_tail, keep_diag):
-    out, (a_slots, a_tail, a_diag, ad_slots, ad_tail, ad_diag) = _fused_core(
+    out, (a_slots, a_tail, a_diag, _, _, _) = _fused_core(
         slots_col, slot_eid, tail_row, tail_col, diag_eid,
         num_rows, num_edges, H, d, Q, K, V, keep_slots, keep_tail, keep_diag)
+    # ad_* = a_* · keep_* is recomputed in backward (one VPU multiply) —
+    # saving both would double the [N, K, H] softmax residual in HBM
     return out, (slots_col, tail_row, tail_col,
                  t_slots_col, t_slot_pos, t_tail_row, t_tail_col, t_tail_pos,
-                 Q, K, V, a_slots, a_tail, a_diag, ad_slots, ad_tail, ad_diag,
+                 Q, K, V, a_slots, a_tail, a_diag,
                  keep_slots, keep_tail, keep_diag)
 
 
 def _fused_bwd(num_rows, num_edges, H, d, residuals, dy):
     (slots_col, tail_row, tail_col,
      t_slots_col, t_slot_pos, t_tail_row, t_tail_col, t_tail_pos,
-     Q, K, V, a_slots, a_tail, a_diag, ad_slots, ad_tail, ad_diag,
+     Q, K, V, a_slots, a_tail, a_diag,
      keep_slots, keep_tail, keep_diag) = residuals
+    ad_slots = a_slots * keep_slots
+    ad_tail = a_tail * keep_tail
+    ad_diag = a_diag * keep_diag if a_diag is not None else None
     N = num_rows
     n_src = V.shape[0]
     Kslots = slots_col.shape[1]
@@ -409,7 +420,11 @@ def gat_attention_ell(layout: GatEllLayout, Q, K, V, num_heads: int,
         raise NotImplementedError(
             "fused ELL attention requires query/key head width == value "
             "head width; use the segment path otherwise")
-    if training and edge_drop_rate > 0.0 and dropout_key is not None:
+    if training and edge_drop_rate > 0.0 and dropout_key is None:
+        raise ValueError(
+            "gat_attention_ell requires dropout_key when training with "
+            "edge_drop_rate > 0 (a silent no-op would train unregularized)")
+    if training and edge_drop_rate > 0.0:
         k1, k2, k3 = jax.random.split(dropout_key, 3)
         scale = 1.0 / (1.0 - edge_drop_rate)
         keep_slots = jax.random.bernoulli(

@@ -28,7 +28,23 @@ import numpy as np
 
 from .. import _segment_core as _seg
 
-__all__ = ["SparseMatrix", "diags", "eye", "concat", "sparse_shape"]
+__all__ = ["SparseMatrix", "diags", "eye", "concat", "sparse_shape",
+           "chunked_feature_matmul"]
+
+
+def chunked_feature_matmul(spmm_fn, h, num_or_size_splits):
+    """Feature-dim chunked SpMM (the reference's large-graph lever,
+    nn/conv/gcn.py:274-280): split ``h``'s last dim, run ``spmm_fn`` per
+    chunk sequentially to bound peak memory, and concatenate. Shared by
+    SparseMatrix.matmul and EllAdj.matmul."""
+    if num_or_size_splits is None:
+        return spmm_fn(h)
+    if isinstance(num_or_size_splits, int):
+        chunks = jnp.array_split(h, num_or_size_splits, axis=-1)
+    else:
+        sections = np.cumsum(num_or_size_splits)[:-1]
+        chunks = jnp.split(h, sections, axis=-1)
+    return jnp.concatenate([spmm_fn(c) for c in chunks], axis=-1)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -44,12 +60,18 @@ class SparseMatrix:
         index = jnp.asarray(index)
         if index.dtype not in (jnp.int32, jnp.int64):
             index = index.astype(jnp.int32)
+        if _validate and (index.ndim != 2 or index.shape[0] != 2):
+            raise ValueError(f"index must be [2, nnz], got shape {index.shape}")
         if value is None:
             value = jnp.ones((index.shape[-1],), dtype=jnp.float32)
         else:
             value = jnp.asarray(value)
             if value.dtype in (jnp.float64,):
                 value = value.astype(jnp.float32)
+            if _validate and value.shape[:1] != index.shape[-1:]:
+                raise ValueError(
+                    f"value length {value.shape} does not match nnz "
+                    f"{index.shape[-1]}")
         if shape is None:
             # Host-side fallback only; inside jit, shape must be provided.
             n = int(np.asarray(jax.device_get(jnp.max(index))) + 1) if index.size else 0
@@ -129,14 +151,7 @@ class SparseMatrix:
         """
         if isinstance(h, SparseMatrix):
             return self._matmul_sparse(h)
-        if num_or_size_splits is None:
-            return self._spmm(h)
-        if isinstance(num_or_size_splits, int):
-            chunks = jnp.array_split(h, num_or_size_splits, axis=-1)
-        else:
-            sections = np.cumsum(num_or_size_splits)[:-1]
-            chunks = jnp.split(h, sections, axis=-1)
-        return jnp.concatenate([self._spmm(c) for c in chunks], axis=-1)
+        return chunked_feature_matmul(self._spmm, h, num_or_size_splits)
 
     def _spmm(self, h):
         from ..ops import spmm as _spmm_op
@@ -224,8 +239,12 @@ class SparseMatrix:
         Mirrors ``SparseMatrix.dropout`` used for edge dropout (gcn.py:262).
         Functional: requires an explicit PRNG ``key`` when training.
         """
-        if not training or rate <= 0.0 or key is None:
+        if not training or rate <= 0.0:
             return self
+        if key is None:
+            raise ValueError(
+                "SparseMatrix.dropout requires a PRNG key when training with "
+                "rate > 0 (a silent no-op would train unregularized)")
         keep = jax.random.bernoulli(key, 1.0 - rate, self.value.shape)
         return self.with_value(jnp.where(keep, self.value / (1.0 - rate), 0.0))
 
@@ -277,17 +296,27 @@ def concat(matrices: Sequence[SparseMatrix], axis: int = 0) -> SparseMatrix:
     """
     if axis not in (0, 1):
         raise ValueError("concat supports axis 0 or 1")
+    total = sum(m.shape[axis] for m in matrices)
+    other_size = max((m.shape[1 - axis] for m in matrices), default=0)
     parts_idx, parts_val = [], []
     offset = 0
-    other = 0
     for m in matrices:
-        shift = jnp.array([[offset if axis == 0 else 0], [offset if axis == 1 else 0]],
-                          dtype=m.index.dtype)
-        parts_idx.append(m.index + shift)
+        ax_ids = m.index[axis]
+        ot_ids = m.index[1 - axis]
+        # padded (out-of-range) entries must stay out of range in the RESULT
+        # — a plain shift would move them into the next block's valid rows
+        # (and a part narrower than the result would validate its other-axis
+        # sentinels), breaking the module's padding invariant
+        valid = ((ax_ids >= 0) & (ax_ids < m.shape[axis])
+                 & (ot_ids >= 0) & (ot_ids < m.shape[1 - axis]))
+        new_ax = jnp.where(valid, ax_ids + offset, total)
+        new_ot = jnp.where(valid, ot_ids, other_size)
+        idx = (jnp.stack([new_ax, new_ot]) if axis == 0
+               else jnp.stack([new_ot, new_ax]))
+        parts_idx.append(idx.astype(m.index.dtype))
         parts_val.append(m.value)
         offset += m.shape[axis]
-        other = max(other, m.shape[1 - axis])
-    shape = (offset, other) if axis == 0 else (other, offset)
+    shape = (total, other_size) if axis == 0 else (other_size, total)
     return SparseMatrix(jnp.concatenate(parts_idx, axis=1),
                         jnp.concatenate(parts_val, axis=0), shape)
 
