@@ -163,3 +163,43 @@ def test_layer_rejects_one_element_inputs():
     layer = L.GCN(units=3)
     with pytest.raises(ValueError, match="layer inputs"):
         layer.init(jax.random.PRNGKey(0), [jnp.ones((2, 4))])
+
+
+def test_appnp_ssgc_no_rng_needed_without_dropout(rng):
+    """training=True with all drop rates 0 must not demand a dropout RNG."""
+    import numpy as np
+    from tf_geometric_tpu.layers import APPNP, SSGC, DropEdge
+    x = jnp.asarray(rng.normal(size=(6, 4)), jnp.float32)
+    ei = jnp.asarray(np.array([[0, 1, 2], [1, 2, 3]], np.int32))
+    for cls in (APPNP, SSGC):
+        layer = cls(units_list=[3])
+        params = layer.init(jax.random.PRNGKey(0), [x, ei])
+        out = layer.apply(params, [x, ei], training=True)  # no rngs needed
+        assert out.shape == (6, 3)
+    de = DropEdge(rate=0.0)
+    p = de.init(jax.random.PRNGKey(0), [ei])
+    (out_ei,) = de.apply(p, [ei], training=True)
+    np.testing.assert_array_equal(np.asarray(out_ei), np.asarray(ei))
+
+
+def test_map_reduce_gnn_accepts_two_element_inputs(rng):
+    import numpy as np
+    from tf_geometric_tpu.layers import MapReduceGNN
+    from tf_geometric_tpu.nn import identity_mapper, sum_reducer, identity_updater
+
+    class SumGNN(MapReduceGNN):
+        def map(self, repeated_x, neighbor_x, edge_weight=None):
+            return identity_mapper(repeated_x, neighbor_x, edge_weight)
+
+        def reduce(self, neighbor_msg, node_index, num_nodes=None):
+            return sum_reducer(neighbor_msg, node_index, num_nodes)
+
+        def update(self, x, reduced_neighbor_msg):
+            return identity_updater(x, reduced_neighbor_msg)
+
+    x = jnp.asarray(rng.normal(size=(5, 3)), jnp.float32)
+    ei = jnp.asarray(np.array([[0, 1], [1, 2]], np.int32))
+    layer = SumGNN()
+    params = layer.init(jax.random.PRNGKey(0), [x, ei])
+    out = layer.apply(params, [x, ei])  # 2-element form now accepted
+    assert out.shape[0] == 5

@@ -1,4 +1,5 @@
 """Tests for metrics, profiling, data_utils, and union_utils helpers."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -62,3 +63,55 @@ def test_union_utils():
     out = convert_union_to_numpy(jnp.asarray([1, 2]), np.float32)
     assert out.dtype == np.float32
     assert convert_union_to_numpy(None) is None
+
+
+def test_function_makes_training_static():
+    from tf_geometric_tpu.utils.jax_utils import function
+
+    @function
+    def f(x, training=False):
+        if training:          # Python-level branch — needs static training
+            return x * 2.0
+        return x
+
+    x = jnp.ones(3)
+    np.testing.assert_allclose(np.asarray(f(x, training=True)), 2.0)
+    np.testing.assert_allclose(np.asarray(f(x, training=False)), 1.0)
+
+
+def test_function_forwards_jit_kwargs():
+    from tf_geometric_tpu.utils.jax_utils import function
+
+    @function(static_argnums=(1,))
+    def g(x, n):
+        return x.reshape(n, -1)
+
+    assert g(jnp.ones(6), 2).shape == (2, 3)
+
+
+def test_binary_auc_with_ties():
+    from sklearn.metrics import roc_auc_score
+    from tf_geometric_tpu.utils import metrics
+    scores = np.array([0.5, 0.5, 0.5, 0.9, 0.1, 0.9])
+    labels = np.array([1, 0, 1, 1, 0, 0])
+    assert metrics.binary_auc(scores, labels) == pytest.approx(
+        roc_auc_score(labels, scores), abs=1e-9)
+
+
+def test_native_sort_fallback_matches_native_for_strays():
+    from tf_geometric_tpu import native
+    rows = np.array([-1, 0, 2, 1, 5, 0], np.int32)  # stray -1 and 5 (>num_rows sentinel region)
+    if native.available():
+        got_native = native.sort_by_row(rows, 4)
+    real = native.available
+    native.available = lambda: False
+    try:
+        import importlib
+        got_numpy = native.sort_by_row(rows, 4)
+    finally:
+        native.available = real
+    # numpy fallback must put strays in the trailing sentinel bucket too
+    assert list(rows[got_numpy[-2:]]) in ([-1, 5], [5, -1]) or \
+        set(rows[got_numpy[-2:]].tolist()) == {-1, 5}
+    if native.available():
+        np.testing.assert_array_equal(got_native, got_numpy)

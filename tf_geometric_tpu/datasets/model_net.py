@@ -60,14 +60,17 @@ class ModelNetDataset(DownloadableDataset):
         label_names = sorted(d for d in os.listdir(data_dir)
                              if os.path.isdir(os.path.join(data_dir, d)))
         train_graphs, test_graphs = [], []
-        for label_index, label_name in enumerate(label_names):
-            for split in ("train", "test"):
-                split_graphs = train_graphs if split == "train" else test_graphs
-                split_path = os.path.join(data_dir, label_name, split)
-                off_paths = [os.path.join(split_path, f)
-                             for f in os.listdir(split_path) if f != ".DS_Store"]
-                inputs = [(p, label_index) for p in off_paths]
-                with Pool(processes=self.num_processes) as pool:
+        # one worker pool for the whole dataset (not one per class directory)
+        with Pool(processes=self.num_processes) as pool:
+            for label_index, label_name in enumerate(label_names):
+                for split in ("train", "test"):
+                    split_graphs = (train_graphs if split == "train"
+                                    else test_graphs)
+                    split_path = os.path.join(data_dir, label_name, split)
+                    off_paths = [os.path.join(split_path, f)
+                                 for f in os.listdir(split_path)
+                                 if f != ".DS_Store"]
+                    inputs = [(p, label_index) for p in off_paths]
                     for graph in pool.imap_unordered(self.read_off, inputs):
                         split_graphs.append(graph)
         return train_graphs, test_graphs, label_names

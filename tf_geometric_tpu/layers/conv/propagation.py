@@ -79,7 +79,9 @@ class APPNP(nn.Module):
         biases = [self.param(f"bias_{i}", zeros_init(), (dims[i + 1],))
                   if self.use_bias else None
                   for i in range(len(self.units_list))]
-        dropout_key = self.make_rng("dropout") if training else None
+        needs_rng = (self.dense_drop_rate > 0 or self.last_dense_drop_rate > 0
+                     or self.edge_drop_rate > 0)
+        dropout_key = self.make_rng("dropout") if (training and needs_rng) else None
         return appnp(x, edge_index, edge_weight, kernels, biases,
                      dense_activation=self.dense_activation,
                      activation=self.activation, k=self.k, alpha=self.alpha,
@@ -110,7 +112,9 @@ class SSGC(nn.Module):
         biases = [self.param(f"bias_{i}", zeros_init(), (dims[i + 1],))
                   if self.use_bias else None
                   for i in range(len(self.units_list))]
-        dropout_key = self.make_rng("dropout") if training else None
+        needs_rng = (self.dense_drop_rate > 0 or self.last_dense_drop_rate > 0
+                     or self.edge_drop_rate > 0)
+        dropout_key = self.make_rng("dropout") if (training and needs_rng) else None
         return ssgc(x, edge_index, edge_weight, kernels, biases,
                     k=self.k, alpha=self.alpha,
                     dense_activation=self.dense_activation,

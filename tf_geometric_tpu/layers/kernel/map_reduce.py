@@ -33,7 +33,8 @@ class MapReduceGNN(nn.Module):
         return lambda x, reduced_neighbor_msg: self.update(x, reduced_neighbor_msg)
 
     def __call__(self, inputs, training: bool = False):
-        x, edge_index, edge_weight = inputs
+        from ..base import unpack_edge_inputs
+        x, edge_index, edge_weight = unpack_edge_inputs(inputs)
         return aggregate_neighbors(
             x, edge_index, edge_weight,
             self.get_mapper(), self.get_reducer(), self.get_updater())

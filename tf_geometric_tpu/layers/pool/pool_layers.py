@@ -207,8 +207,6 @@ class Set2Set(nn.Module):
         units = x.shape[-1]
         cell = nn.OptimizedLSTMCell(units)
 
-        carry_holder = {}
-
         def lstm_fn(h, state):
             if state is None:
                 state = cell.initialize_carry(jax.random.PRNGKey(0),

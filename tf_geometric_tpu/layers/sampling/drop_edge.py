@@ -17,7 +17,7 @@ class DropEdge(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, training: bool = False):
-        key = self.make_rng("dropout") if training else None
+        key = self.make_rng("dropout") if (training and self.rate > 0) else None
         return drop_edge(inputs, rate=self.rate,
                          force_undirected=self.force_undirected,
                          training=training, key=key, num_nodes=self.num_nodes)

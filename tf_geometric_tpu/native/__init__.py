@@ -42,7 +42,10 @@ def _compile_and_load() -> Optional[ctypes.CDLL]:
     cache_dir.mkdir(parents=True, exist_ok=True)
     so_path = cache_dir / f"graph_ops_{key}.so"
     if not so_path.exists():
-        with tempfile.TemporaryDirectory() as td:
+        # temp dir INSIDE the cache dir: os.replace requires the same
+        # filesystem (a /tmp tmpfs would raise EXDEV and silently disable
+        # the whole native module)
+        with tempfile.TemporaryDirectory(dir=cache_dir) as td:
             tmp_so = Path(td) / "graph_ops.so"
             base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
                     str(_SRC), "-o", str(tmp_so)]
@@ -112,7 +115,11 @@ def sort_by_row(rows, num_rows: int) -> np.ndarray:
     rows = np.ascontiguousarray(rows, np.int32)
     lib = _get_lib()
     if lib is None:
-        return np.argsort(rows, kind="stable")
+        # match the native kernel's stray handling: out-of-range rows clamp
+        # to the trailing sentinel bucket (plain argsort would order negative
+        # ids FIRST, shifting the CSR view by every stray edge)
+        clamped = np.where((rows < 0) | (rows > num_rows), num_rows, rows)
+        return np.argsort(clamped, kind="stable")
     order = np.empty(rows.shape[0], np.int64)
     lib.tfg_sort_by_row(rows, rows.shape[0], int(num_rows), order)
     return order
