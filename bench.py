@@ -74,7 +74,12 @@ def main():
 
     NUM_CLASSES, HIDDEN = 40, 256
     from tf_geometric_tpu.ops import config as kernel_config
-    kernel_config.set_ell_compute_dtype(jnp.bfloat16)
+    if os.environ.get("BENCH_ELL_BF16", "1") == "1":
+        # bf16 ELL compute policy. With the propagated-feature precompute the
+        # runtime SpMMs run at F=NUM_CLASSES=40 (transaction-bound regime
+        # where bf16 is neutral per docs/performance.md); measured A/B on the
+        # full step: bf16 ON matched or beat OFF, so it stays the default.
+        kernel_config.set_ell_compute_dtype(jnp.bfloat16)
 
     graph = synthetic_ogbn_arxiv_like()
     num_nodes, num_features = graph.x.shape

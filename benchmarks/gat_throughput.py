@@ -44,7 +44,8 @@ def main():
     optimizer = optax.adam(1e-3)
 
     def measure(layout_args):
-        # layout/edges are jit ARGUMENTS (device arrays), never HLO constants
+        # default: layout/edges inline as jit constants (the measured-fast
+        # layout rule); GAT_BENCH_AS_ARGS=1 passes them as jit arguments
         def loss_fn(p, layout, sorted_ei):
             h = gat(x, ei if layout is None else None,
                     p["wq"], p["bq"], jax.nn.relu,

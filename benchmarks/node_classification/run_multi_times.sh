@@ -3,6 +3,9 @@
 # Usage: ./run_multi_times.sh bench_node_cls_early_stop_gcn.py [num_runs]
 SCRIPT=${1:-bench_node_cls_early_stop_gcn.py}
 RUNS=${2:-20}
+# fresh results file: appending across runs/models would average stale
+# accuracies into the reported mean±std
+: > "$(dirname "$0")/results.txt"
 for seed in $(seq 0 $((RUNS - 1))); do
     python "$(dirname "$0")/$SCRIPT" "$seed"
 done

@@ -14,21 +14,40 @@ def main():
     dst = np.sort((rng.random(E) ** 2 * N).astype(np.int32))  # pre-sorted by row
     src = rng.integers(0, N, size=E).astype(np.int32)
     perm = rng.permutation(E)
-    dst_unsorted, src_unsorted = dst[perm], src[perm]
     val = rng.random(E).astype(np.float32)
+    # permute the VALUES along with the indices — the unsorted and
+    # sorted/ELL variants must compute the same weighted sum for the
+    # correctness check at the end
+    dst_unsorted, src_unsorted, val_unsorted = dst[perm], src[perm], val[perm]
     x = rng.normal(size=(N, F)).astype(np.float32)
 
     xs = jnp.asarray(x)
     results = {}
 
     def timeit(name, fn, *args, iters=20):
+        """Chained timing: each iteration feeds the previous output back in
+        (scaled into a no-op perturbation), drained with a tiny device_get —
+        ``block_until_ready`` is a NO-OP on the axon tunnel, so un-chained
+        loops measure dispatch only (CLAUDE.md timing protocol)."""
         out = fn(*args)
-        jax.block_until_ready(out)
-        t = time.time()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        dt = (time.time() - t) / iters
+        _ = np.asarray(jax.tree.leaves(out)[0].reshape(-1)[:1])
+
+        def run(n, o):
+            t = time.time()
+            for _ in range(n):
+                # dependency chain: perturb the last operand by a ~0 scalar
+                # derived from the previous output (uniform tiny overhead
+                # across variants; keeps iterations data-dependent)
+                eps = jax.tree.leaves(o)[0].reshape(-1)[0] * 1e-30
+                o = fn(*args[:-1], args[-1] * (1.0 + eps))
+            _ = np.asarray(jax.tree.leaves(o)[0].reshape(-1)[:1])
+            return time.time() - t, o
+
+        _, out2 = run(2, out)
+        lo = max(iters // 4, 2)
+        t_lo, out2 = run(lo, out2)
+        t_hi, _ = run(iters, out2)
+        dt = (t_hi - t_lo) / (iters - lo)
         results[name] = dt
         print(f"{name:36s} {dt*1000:8.2f} ms   {E/dt/1e6:8.1f} M edges/s", flush=True)
         return out
@@ -56,8 +75,9 @@ def main():
     r_u = jnp.asarray(dst_unsorted); c_u = jnp.asarray(src_unsorted)
     r_s = jnp.asarray(dst); c_s = jnp.asarray(src)
     v = jnp.asarray(val)
+    v_u = jnp.asarray(val_unsorted)
 
-    o1 = timeit("unsorted gather+segsum", spmm_unsorted, r_u, c_u, v, xs)
+    o1 = timeit("unsorted gather+segsum", spmm_unsorted, r_u, c_u, v_u, xs)
     o2 = timeit("sorted gather+segsum(flag)", spmm_sorted_flag, r_s, c_s, v, xs)
     o3 = timeit("sorted gather+segsum(noflag)", spmm_unsorted, r_s, c_s, v, xs)
     msg = gather_only(c_s, v, xs)
@@ -102,7 +122,7 @@ def main():
     def loss_unsorted(v_, h_):
         return jnp.sum(spmm_unsorted(r_u, c_u, v_, h_) ** 2)
     g1 = jax.jit(jax.grad(loss_unsorted, argnums=(0, 1)))
-    timeit("fwd+bwd unsorted", lambda v_, h_: g1(v_, h_), v, xs, iters=10)
+    timeit("fwd+bwd unsorted", lambda v_, h_: g1(v_, h_), v_u, xs, iters=10)
 
     def loss_sorted(v_, h_):
         return jnp.sum(spmm_sorted_flag(r_s, c_s, v_, h_) ** 2)

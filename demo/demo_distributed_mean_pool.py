@@ -29,7 +29,11 @@ def main(num_steps=150):
                                                  random_state=0)
     mesh = build_mesh({"data": num_devices})
 
-    gen = padded_batch_generator(train_graphs, batch_size)
+    # ONE padding spec over train ∪ test: eval reuses the training step's
+    # per-device node capacity, so test batches must pad identically
+    from demo_utils import batch_padding_spec
+    shared_spec = batch_padding_spec(graphs, batch_size)
+    gen = padded_batch_generator(train_graphs, batch_size, spec=shared_spec)
     batch, _ = next(gen)
     f = batch.x.shape[1]
     node_cap = batch.x.shape[0]
@@ -131,17 +135,21 @@ def main(num_steps=150):
                 print(f"step {s}: loss={float(loss):.4f}")
 
         correct = total = 0
+
+        # eval forward compiled ONCE (defining it inside the loop would
+        # recompile per batch)
+        @jax.jit
+        @lambda f_: shard_map(f_, mesh=mesh,
+                              in_specs=(P(), P("data"), P("data"), P("data"),
+                                        P("data"), P("data")),
+                              out_specs=P("data"))
+        def fwd(p, x, rows, cols, vals, ngi):
+            return local_forward(p, x, rows, cols, vals, ngi)
+
         for batch, real in padded_batch_generator(test_graphs, batch_size,
-                                                  shuffle=False, infinite=False):
+                                                  shuffle=False, infinite=False,
+                                                  spec=shared_spec):
             args = shard_batch(batch, real)
-            # reuse the forward through a one-off jit for eval
-            @jax.jit
-            @lambda f_: shard_map(f_, mesh=mesh,
-                                  in_specs=(P(), P("data"), P("data"), P("data"),
-                                            P("data"), P("data")),
-                                  out_specs=P("data"))
-            def fwd(p, x, rows, cols, vals, ngi):
-                return local_forward(p, x, rows, cols, vals, ngi)
             logits = fwd(params, args[0], args[1], args[2], args[3], args[4])
             preds = np.asarray(jnp.argmax(logits, -1))
             mask = np.asarray(args[6]) > 0

@@ -109,12 +109,14 @@ def main():
     def forward(params):
         return model.apply({"params": params}, graph.x, adj, cache=cache)
 
-    forward(params).block_until_ready()
+    # block_until_ready is a NO-OP on the axon TPU tunnel — drain the queue
+    # with a tiny device_get instead (CLAUDE.md timing protocol)
+    _ = np.asarray(forward(params)[0, :1])
     start = time.time()
     iters = 100
     for _ in range(iters):
         out = forward(params)
-    out.block_until_ready()
+    _ = np.asarray(out[0, :1])
     print(f"mean forward latency: {(time.time() - start) / iters * 1000:.3f} ms")
     return float(evaluate(params)[2])
 

@@ -12,10 +12,14 @@ from demo_mean_pool import MeanPoolNetwork
 
 
 def load_model_net_graphs():
+    """Returns (graphs, num_classes, official_split_or_None). The real
+    ModelNet split is OFFICIAL — re-splitting randomly would leak test
+    meshes into training."""
     from tf_geometric_tpu.datasets import ModelNet10Dataset
     try:
         train_graphs, test_graphs, label_names = ModelNet10Dataset().load_data()
-        return train_graphs + test_graphs, len(label_names)
+        return (train_graphs + test_graphs, len(label_names),
+                (train_graphs, test_graphs))
     except Exception:
         print("ModelNet10 unavailable — synthesizing mesh-like graphs")
         from tf_geometric_tpu.data.graph import Graph
@@ -35,19 +39,19 @@ def load_model_net_graphs():
             ei = np.concatenate([edges.T, edges.T[::-1]], axis=1).astype(np.int32)
             x = rng.normal(size=(n, 3)).astype(np.float32)
             graphs.append(Graph(x=x, edge_index=ei, y=[label]))
-        return graphs, 2
+        return graphs, 2, None
 
 
 def main(num_steps=200):
     import demo_utils
-    graphs, num_classes = load_model_net_graphs()
+    graphs, num_classes, split = load_model_net_graphs()
     orig = demo_utils.load_graph_classification_data
     demo_utils.load_graph_classification_data = \
         lambda *a, **k: (graphs, num_classes)
     try:
         return run_graph_classification(
             lambda c, g: MeanPoolNetwork(num_classes=c, num_graphs=g),
-            batch_size=16, num_steps=num_steps)
+            batch_size=16, num_steps=num_steps, split=split)
     finally:
         demo_utils.load_graph_classification_data = orig
 

@@ -19,6 +19,8 @@ def main(num_steps=150):
     # identity sparse features (tfs.eye, demo_sparse_node_features.py:22)
     sparse_x = tfs.eye(num_nodes)
     adj = graph.adj()
+    from tf_geometric_tpu.nn import gcn_build_cache_by_adj
+    cache = gcn_build_cache_by_adj(adj)  # normalization + ELL as jit constants
 
     rng = np.random.default_rng(0)
     params = {
@@ -31,8 +33,9 @@ def main(num_steps=150):
     }
 
     def forward(p, training, dropout_key):
-        h = gcn(sparse_x, adj, p["w0"], p["b0"], activation=jax.nn.relu)
-        return gcn(h, adj, p["w1"], p["b1"])
+        h = gcn(sparse_x, adj, p["w0"], p["b0"], activation=jax.nn.relu,
+                cache=cache)
+        return gcn(h, adj, p["w1"], p["b1"], cache=cache)
 
     return train_node_classifier(forward, params, jnp.asarray(graph.y), splits,
                                  num_steps=num_steps)

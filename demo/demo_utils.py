@@ -134,17 +134,32 @@ def load_graph_classification_data(name="NCI1", num_fallback_graphs=600, seed=0)
         return graphs, 2
 
 
-def padded_batch_generator(graphs, batch_size, shuffle=True, infinite=True,
-                           seed=0, node_multiple=128, edge_multiple=128):
-    """Yield BatchGraphs padded to fixed capacities so jit compiles once."""
-    from tf_geometric_tpu.data.graph import BatchGraph
-    from tf_geometric_tpu.data.padding import PaddingSpec, bucket_size, pad_batch_graph
-    rng = np.random.default_rng(seed)
+def batch_padding_spec(graphs, batch_size, node_multiple=128, edge_multiple=128):
+    """Fixed batch capacities covering any ``batch_size`` graphs from
+    ``graphs``. Compute ONE spec over train ∪ test so every consumer of the
+    padded batches (e.g. per-device sharding) sees identical shapes."""
+    from tf_geometric_tpu.data.padding import PaddingSpec, bucket_size
     max_nodes = max(g.num_nodes for g in graphs)
     max_edges = max(g.num_edges for g in graphs)
-    spec = PaddingSpec(bucket_size(max_nodes * batch_size, node_multiple),
+    return PaddingSpec(bucket_size(max_nodes * batch_size, node_multiple),
                        bucket_size(max_edges * batch_size, edge_multiple),
                        batch_size)
+
+
+def padded_batch_generator(graphs, batch_size, shuffle=True, infinite=True,
+                           seed=0, node_multiple=128, edge_multiple=128,
+                           spec=None):
+    """Yield BatchGraphs padded to fixed capacities so jit compiles once."""
+    from tf_geometric_tpu.data.graph import BatchGraph
+    from tf_geometric_tpu.data.padding import pad_batch_graph
+    rng = np.random.default_rng(seed)
+    if infinite and len(graphs) < batch_size:
+        raise ValueError(
+            f"padded_batch_generator: {len(graphs)} graphs < batch_size "
+            f"{batch_size} — every chunk would be dropped (infinite hang)")
+    if spec is None:
+        spec = batch_padding_spec(graphs, batch_size, node_multiple,
+                                  edge_multiple)
     while True:
         order = rng.permutation(len(graphs)) if shuffle else np.arange(len(graphs))
         for start in range(0, len(order), batch_size):
@@ -159,18 +174,23 @@ def padded_batch_generator(graphs, batch_size, shuffle=True, infinite=True,
 
 def run_graph_classification(make_model, batch_size=32, num_steps=300,
                              learning_rate=5e-3, dataset="NCI1", seed=0,
-                             extra_loss_from_state=None):
+                             extra_loss_from_state=None, split=None):
     """Generic padded-batch graph-classification loop.
 
     ``make_model(num_classes, num_graphs) -> flax module`` whose __call__ is
     ``(x, edge_index, edge_weight, node_graph_index, training=...) -> logits``.
     ``extra_loss_from_state(state) -> scalar`` pulls auxiliary losses sown
-    into the "losses" collection (MinCutPool).
+    into the "losses" collection (MinCutPool). ``split`` = pre-defined
+    ``(train_graphs, test_graphs)`` (official dataset splits — e.g.
+    ModelNet — must NOT be re-split randomly); default: random 90/10.
     """
-    from sklearn.model_selection import train_test_split
     graphs, num_classes = load_graph_classification_data(dataset, seed=seed)
-    train_graphs, test_graphs = train_test_split(graphs, test_size=0.1,
-                                                 random_state=0)
+    if split is not None:
+        train_graphs, test_graphs = split
+    else:
+        from sklearn.model_selection import train_test_split
+        train_graphs, test_graphs = train_test_split(graphs, test_size=0.1,
+                                                     random_state=0)
     model = make_model(num_classes, batch_size)
     gen = padded_batch_generator(train_graphs, batch_size, seed=seed)
     batch, _ = next(gen)
