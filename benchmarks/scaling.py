@@ -28,9 +28,10 @@ def measure(num_devices, graph, use_rcm=True, steps=10, model="gcn"):
                                                      partition_order)
     from tf_geometric_tpu.parallel.sharded import (build_mesh,
                                                    make_graph_parallel_gat_step,
-                                                   make_graph_parallel_gcn_step)
+                                                   make_graph_parallel_gcn_step,
+                                                   make_graph_parallel_mincut_step)
     from tf_geometric_tpu.sparse import SparseMatrix
-    from tf_geometric_tpu.utils.graph_utils import add_self_loop_edge
+    from tf_geometric_tpu.utils.graph_utils import add_self_loop_edge, adj_norm_edge
 
     if use_rcm and num_devices > 1:
         # balanced block-aligned partition (LPA + bin-packing + refinement)
@@ -41,6 +42,12 @@ def measure(num_devices, graph, use_rcm=True, steps=10, model="gcn"):
     if model == "gat":
         ei, ew = add_self_loop_edge(np.asarray(graph.edge_index), num_nodes)
         index, value = ei, np.asarray(ew, np.float32)
+    elif model == "mincut":
+        # MinCut semantics: sym-normalized Ã without self-loops drives both
+        # the encoder GNNs and the losses (reference min_cut_pool.py:163)
+        idx, val = adj_norm_edge(graph.edge_index, num_nodes, graph.edge_weight,
+                                 add_self_loop=False)
+        index, value = np.asarray(idx), np.asarray(val)
     else:
         normed = gcn_norm_adj(SparseMatrix(graph.edge_index, graph.edge_weight,
                                            (num_nodes, num_nodes)))
@@ -65,6 +72,20 @@ def measure(num_devices, graph, use_rcm=True, steps=10, model="gcn"):
             (jnp.asarray(rng.normal(scale=0.1, size=(H * d, num_classes)), jnp.float32),
              jnp.zeros(num_classes)),
         )
+    elif model == "mincut":
+        hidden, C = 64, 32
+        step, optimizer = make_graph_parallel_mincut_step(
+            mesh, num_clusters=C, hidden=hidden, num_classes=num_classes)
+        params = (
+            (jnp.asarray(rng.normal(scale=0.1, size=(x_np.shape[1], hidden)), jnp.float32),
+             jnp.zeros(hidden)),
+            (jnp.asarray(rng.normal(scale=0.1, size=(x_np.shape[1], C)), jnp.float32),
+             jnp.zeros(C)),
+            (jnp.asarray(rng.normal(scale=0.1, size=(hidden, hidden)), jnp.float32),
+             jnp.zeros(hidden)),
+            (jnp.asarray(rng.normal(scale=0.1, size=(2 * hidden, num_classes)), jnp.float32),
+             jnp.zeros(num_classes)),
+        )
     else:
         step, optimizer = make_graph_parallel_gcn_step(
             mesh, hidden=64, num_classes=num_classes, halo_spec=spec)
@@ -84,15 +105,25 @@ def measure(num_devices, graph, use_rcm=True, steps=10, model="gcn"):
     mask[:num_nodes] = 1.0
 
     opt_state = optimizer.init(params)
-    args = (jnp.asarray(x_p), jnp.asarray(y_p), jnp.asarray(mask))
+    if model == "mincut":
+        args = (jnp.asarray(x_p),
+                jnp.asarray(part.local_row.reshape(-1)),
+                jnp.asarray(part.global_col.reshape(-1)),
+                jnp.asarray(part.value.reshape(-1)),
+                jnp.asarray(y_p), jnp.asarray(mask), jnp.asarray(mask))
+    else:
+        args = (jnp.asarray(x_p), jnp.asarray(y_p), jnp.asarray(mask))
+
+    def _drain(loss):
+        return np.asarray(loss[0] if isinstance(loss, tuple) else loss)
 
     with mesh:
         params, opt_state, loss = step(params, opt_state, *args)
-        _ = np.asarray(loss)  # compile + drain
+        _ = _drain(loss)  # compile + drain
         t = time.time()
         for _ in range(steps):
             params, opt_state, loss = step(params, opt_state, *args)
-        _ = np.asarray(loss)
+        _ = _drain(loss)
         elapsed = (time.time() - t) / steps
     num_edges = int((part.local_row < part.nodes_per_part).sum())
     return num_edges / elapsed, spec.halo_fraction
@@ -112,7 +143,7 @@ def main():
     import jax
     from tf_geometric_tpu.datasets.synthetic_citation import synthetic_citation_graph
 
-    model = os.environ.get("TFG_SCALING_MODEL", "gcn")  # gcn | gat
+    model = os.environ.get("TFG_SCALING_MODEL", "gcn")  # gcn | gat | mincut
     graph = synthetic_citation_graph(num_nodes=20_000, num_features=64,
                                      num_classes=40, avg_degree=8, seed=0)
     max_devices = len(jax.devices())

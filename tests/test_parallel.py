@@ -282,3 +282,138 @@ def test_sharded_gat_matches_single_device():
                          jax.tree.leaves(params_single)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_mincut_step_matches_single_device():
+    """Edge-partitioned hierarchical pooling (BASELINE config 5): the
+    shard_map MinCutPool step must reproduce a single-device dense oracle —
+    loss, aux losses, and one full Adam update."""
+    import optax
+    from tf_geometric_tpu.parallel.sharded import make_graph_parallel_mincut_step
+    from tf_geometric_tpu.utils.graph_utils import adj_norm_edge
+
+    num_classes, hidden, C = 5, 8, 6
+    rng = np.random.default_rng(7)
+    num_nodes, f = 90, 12
+    x = rng.normal(size=(num_nodes, f)).astype(np.float32)
+    ei = rng.integers(0, num_nodes, size=(2, 360)).astype(np.int32)
+    y = rng.integers(0, num_classes, size=num_nodes).astype(np.int32)
+    # MinCut semantics: sym-normalized adjacency WITHOUT self-loops drives
+    # both the encoder GNNs and the losses (reference min_cut_pool.py:163)
+    index, value = adj_norm_edge(ei, num_nodes, None, add_self_loop=False)
+    index, value = np.asarray(index), np.asarray(value)
+
+    part = partition_edges_by_row(index, value, num_nodes, 4, pad_multiple=16)
+    n_pad = 4 * part.nodes_per_part
+    x_p = np.zeros((n_pad, f), np.float32); x_p[:num_nodes] = x
+    y_p = np.zeros(n_pad, np.int32); y_p[:num_nodes] = y
+    mask = np.zeros(n_pad, np.float32); mask[:num_nodes] = 1.0
+    valid = np.zeros(n_pad, np.float32); valid[:num_nodes] = 1.0
+
+    params = (
+        (jnp.asarray(rng.normal(scale=0.1, size=(f, hidden)), jnp.float32),
+         jnp.zeros(hidden)),
+        (jnp.asarray(rng.normal(scale=0.1, size=(f, C)), jnp.float32),
+         jnp.zeros(C)),
+        (jnp.asarray(rng.normal(scale=0.1, size=(hidden, hidden)), jnp.float32),
+         jnp.zeros(hidden)),
+        (jnp.asarray(rng.normal(scale=0.1, size=(2 * hidden, num_classes)),
+                     jnp.float32),
+         jnp.zeros(num_classes)),
+    )
+
+    mesh = build_mesh({"data": 2, "graph": 4})
+    step, opt = make_graph_parallel_mincut_step(
+        mesh, num_clusters=C, hidden=hidden, num_classes=num_classes)
+    opt_state = opt.init(params)
+    with mesh:
+        new_params, _, (loss_sh, ce_sh, cut_sh, orth_sh) = step(
+            params, opt_state, jnp.asarray(x_p),
+            jnp.asarray(part.local_row.reshape(-1)),
+            jnp.asarray(part.global_col.reshape(-1)),
+            jnp.asarray(part.value.reshape(-1)),
+            jnp.asarray(y_p), jnp.asarray(mask), jnp.asarray(valid))
+
+    # single-device dense oracle over the REAL (unpadded) graph
+    adense = np.zeros((num_nodes, num_nodes), np.float32)
+    np.add.at(adense, (index[0], index[1]), value)  # duplicates accumulate
+    A = jnp.asarray(adense)
+
+    def oracle_loss(p):
+        (w0, b0), (wa, ba), (wc, bc), (wo, bo) = p
+        xx = jnp.asarray(x)
+        h1 = jax.nn.relu(A @ (xx @ w0) + b0)
+        S = jax.nn.softmax(A @ (xx @ wa) + ba)
+        pooled_x = S.T @ h1
+        pooled_adj = S.T @ A @ S
+        intra = jnp.trace(pooled_adj)
+        deg = A.sum(axis=1)
+        all_sum = jnp.sum(deg * jnp.sum(S * S, axis=-1))
+        cut = -intra / (all_sum + 1e-8)
+        sts = S.T @ S
+        sts_n = sts / (jnp.sqrt(jnp.sum(sts * sts)) + 1e-8)
+        dev = sts_n - jnp.eye(C) / jnp.sqrt(jnp.float32(C))
+        orth = jnp.sqrt(jnp.sum(dev * dev))
+        pooled_adj = pooled_adj * (1.0 - jnp.eye(C))
+        coarse = jax.nn.relu(pooled_adj @ (pooled_x @ wc) + bc)
+        h2 = S @ coarse
+        logits = jnp.concatenate([h1, h2], axis=-1) @ wo + bo
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.asarray(y)).mean()
+        return ce + cut + orth, (ce, cut, orth)
+
+    (loss_single, (ce_s, cut_s, orth_s)), grads_single = jax.value_and_grad(
+        oracle_loss, has_aux=True)(params)
+    np.testing.assert_allclose(float(loss_sh), float(loss_single),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(ce_sh), float(ce_s), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(cut_sh), float(cut_s), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(orth_sh), float(orth_s), rtol=1e-4, atol=1e-5)
+    updates, _ = opt.update(grads_single, opt.init(params), params)
+    params_single = optax.apply_updates(params, updates)
+    for got, want in zip(jax.tree.leaves(new_params),
+                         jax.tree.leaves(params_single)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_diffpool_variant_runs_and_ignores_losses():
+    from tf_geometric_tpu.parallel.sharded import make_graph_parallel_mincut_step
+
+    num_classes, hidden, C = 3, 4, 4
+    rng = np.random.default_rng(11)
+    num_nodes, f = 40, 6
+    x = rng.normal(size=(num_nodes, f)).astype(np.float32)
+    ei = rng.integers(0, num_nodes, size=(2, 120)).astype(np.int32)
+    y = rng.integers(0, num_classes, size=num_nodes).astype(np.int32)
+    part = partition_edges_by_row(ei, None, num_nodes, 4, pad_multiple=16)
+    n_pad = 4 * part.nodes_per_part
+    x_p = np.zeros((n_pad, f), np.float32); x_p[:num_nodes] = x
+    y_p = np.zeros(n_pad, np.int32); y_p[:num_nodes] = y
+    mask = np.zeros(n_pad, np.float32); mask[:num_nodes] = 1.0
+
+    params = (
+        (jnp.asarray(rng.normal(scale=0.1, size=(f, hidden)), jnp.float32),
+         jnp.zeros(hidden)),
+        (jnp.asarray(rng.normal(scale=0.1, size=(f, C)), jnp.float32),
+         jnp.zeros(C)),
+        (jnp.asarray(rng.normal(scale=0.1, size=(hidden, hidden)), jnp.float32),
+         jnp.zeros(hidden)),
+        (jnp.asarray(rng.normal(scale=0.1, size=(2 * hidden, num_classes)),
+                     jnp.float32),
+         jnp.zeros(num_classes)),
+    )
+    mesh = build_mesh({"graph": 4})
+    step, opt = make_graph_parallel_mincut_step(
+        mesh, num_clusters=C, hidden=hidden, num_classes=num_classes,
+        variant="diff")
+    opt_state = opt.init(params)
+    with mesh:
+        _, _, (loss, ce, cut, orth) = step(
+            params, opt_state, jnp.asarray(x_p),
+            jnp.asarray(part.local_row.reshape(-1)),
+            jnp.asarray(part.global_col.reshape(-1)),
+            jnp.asarray(part.value.reshape(-1)),
+            jnp.asarray(y_p), jnp.asarray(mask), jnp.asarray(mask))
+    assert float(cut) == 0.0 and float(orth) == 0.0
+    assert np.isfinite(float(loss)) and float(loss) == pytest.approx(float(ce))

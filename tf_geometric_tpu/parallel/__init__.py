@@ -10,7 +10,8 @@ from .partition import (EdgePartition, apply_node_permutation,
                         partition_order)
 from .halo import HaloSpec, build_halo_spec, halo_exchange, halo_spmm_split
 from .sharded import (build_mesh, make_graph_parallel_gat_step,
-                      make_graph_parallel_gcn_step, sharded_spmm_local)
+                      make_graph_parallel_gcn_step,
+                      make_graph_parallel_mincut_step, sharded_spmm_local)
 
 __all__ = [
     "EdgePartition", "apply_node_permutation", "bandwidth_reduction_order",
@@ -18,5 +19,5 @@ __all__ = [
     "partition_order",
     "HaloSpec", "build_halo_spec", "halo_exchange", "halo_spmm_split",
     "build_mesh", "make_graph_parallel_gcn_step", "make_graph_parallel_gat_step",
-    "sharded_spmm_local",
+    "make_graph_parallel_mincut_step", "sharded_spmm_local",
 ]

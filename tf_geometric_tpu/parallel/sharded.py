@@ -30,7 +30,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 __all__ = ["sharded_spmm_local", "make_graph_parallel_gcn_step",
-           "make_graph_parallel_gat_step", "build_mesh"]
+           "make_graph_parallel_gat_step", "make_graph_parallel_mincut_step",
+           "build_mesh"]
 
 
 def build_mesh(axis_sizes: dict, devices: Optional[Sequence] = None) -> Mesh:
@@ -185,6 +186,135 @@ def make_graph_parallel_gcn_step(mesh: Mesh, graph_axis: str = "graph",
         in_specs=(P(), P(), shard_spec, edge_spec, edge_spec, edge_spec,
                   P(graph_axis), P(graph_axis)),
         out_specs=(P(), P(), P()),
+    )
+    return jax.jit(step), optimizer
+
+
+def make_graph_parallel_mincut_step(mesh: Mesh, graph_axis: str = "graph",
+                                    num_clusters: int = 32, hidden: int = 16,
+                                    num_classes: int = 7,
+                                    learning_rate: float = 1e-2,
+                                    cut_coef: float = 1.0,
+                                    orth_coef: float = 1.0,
+                                    variant: str = "min_cut"):
+    """Edge-partitioned hierarchical pooling (BASELINE config 5): a sharded
+    GCN encoder + assignment GNN, MinCutPool/DiffPool coarsening distributed
+    over the ``graph`` mesh axis, a dense coarse-level GCN, unpooling, and a
+    node-classification head — one jitted shard_map training step.
+
+    Distribution layout (single large graph, edges owned by destination row):
+
+    * encoder + assignment: one ``all_gather`` carries both projections
+      (``x·W0 ‖ x·Wa``), local segment-sum aggregation per row block;
+    * coarsening: ``SᵀÃS`` and ``Sᵀh`` reduce to *local MXU matmuls over the
+      device's edge/node shard* followed by a ``psum`` of the tiny [C, C] /
+      [C, hidden] partials — the TPU-native form of the reference's global
+      densify (nn/pool/cluster_pool.py:31-38), which never materializes a
+      global assignment matrix on any device;
+    * MinCut losses (nn/pool/min_cut_pool.py:8-90): ``tr(SᵀÃS)`` is the trace
+      of the psum-ed pooled adjacency; ``tr(SᵀDS)`` and ``SᵀS`` come from
+      device-local partials + psum — identical formulas, distributed
+      evaluation;
+    * coarse level: the pooled graph is C×C dense and replicated — its GCN
+      layer costs nothing at C ≤ a few hundred;
+    * unpool: ``h2 = S_local @ coarse`` needs no collective (row-aligned).
+
+    ``variant``: ``"min_cut"`` zeroes pooled self-loops and adds
+    ``cut_coef·L_cut + orth_coef·L_orth`` to the loss
+    (min_cut_pool.py:127-146); ``"diff"`` keeps the diagonal and trains on
+    CE alone (nn/pool/diff_pool.py:42-52 semantics).
+
+    For exact MinCut semantics pass edge values from
+    ``adj_norm_edge(..., add_self_loop=False)`` — the same normalized
+    weights then drive the encoder GNNs (the reference's
+    ``gnn_use_normed_edge=True`` default, min_cut_pool.py:163).
+
+    Returns ``(step, optimizer)`` with
+    ``step(params, opt_state, x, rows, cols, vals, y, mask, valid)
+    -> (params, opt_state, (loss, ce, cut, orth))`` where rows/cols/vals are
+    the flattened ``partition_edges_by_row`` shards,
+    ``params = ((w0, b0), (wa, ba), (wc, bc), (wo, bo))``, ``mask`` is the
+    training-label mask and ``valid`` flags real (non-padding) node rows —
+    padding rows would otherwise leak ``softmax(ba)`` assignment mass into
+    the pooled partials (their assignment rows are zeroed).
+    """
+    import optax
+
+    if variant not in ("min_cut", "diff"):
+        raise ValueError(f"variant must be 'min_cut' or 'diff', got {variant!r}")
+    optimizer = optax.adam(learning_rate)
+    C = num_clusters
+
+    def local_step(params, opt_state, x_local, rows, cols, vals,
+                   y_local, mask_local, valid_local):
+        npp = x_local.shape[0]
+
+        def loss_fn(p):
+            (w0, b0), (wa, ba), (wc, bc), (wo, bo) = p
+            # one all_gather carries encoder ‖ assignment projections
+            proj = jnp.concatenate([x_local @ w0, x_local @ wa], axis=-1)
+            proj_g = jax.lax.all_gather(proj, graph_axis, tiled=True)
+            agg = sharded_spmm_local(proj_g, rows, cols, vals, npp)
+            h1 = jax.nn.relu(agg[:, :w0.shape[1]] + b0)          # [npp, H]
+            s_local = jax.nn.softmax(agg[:, w0.shape[1]:] + ba)  # [npp, C]
+            s_local = s_local * valid_local[:, None]  # padding rows → 0
+
+            # coarsen: pooled_x = psum(S_locᵀ h1); pooled_adj = psum over
+            # local edges of w_e·S[row_e]⊗S[col_e] — both local matmuls
+            pooled_x = jax.lax.psum(s_local.T @ h1, graph_axis)  # [C, H]
+            s_g = jax.lax.all_gather(s_local, graph_axis, tiled=True)
+            s_row = jnp.take(s_local, jnp.clip(rows, 0, npp - 1), axis=0)
+            s_row = jnp.where((rows < npp)[:, None], s_row, 0.0)
+            s_col = jnp.take(s_g, jnp.clip(cols, 0, s_g.shape[0] - 1), axis=0)
+            pooled_adj = jax.lax.psum(
+                (s_row * vals[:, None]).T @ s_col, graph_axis)   # [C, C]
+
+            if variant == "min_cut":
+                # cut = −tr(SᵀÃS)/tr(SᵀDS); orth = ‖SᵀS/‖SᵀS‖_F − I/√C‖_F
+                intra = jnp.trace(pooled_adj)
+                deg_local = jax.ops.segment_sum(vals, rows, num_segments=npp)
+                all_sum = jax.lax.psum(
+                    jnp.sum(deg_local * jnp.sum(s_local * s_local, axis=-1)),
+                    graph_axis)
+                cut_loss = -intra / (all_sum + 1e-8)
+                sts = jax.lax.psum(s_local.T @ s_local, graph_axis)
+                sts_n = sts / (jnp.sqrt(jnp.sum(sts * sts)) + 1e-8)
+                dev = sts_n - jnp.eye(C) / jnp.sqrt(jnp.float32(C))
+                orth_loss = jnp.sqrt(jnp.sum(dev * dev))
+                # zero pooled self-loops (min_cut_pool.py:127-146)
+                pooled_adj = pooled_adj * (1.0 - jnp.eye(C))
+            else:
+                cut_loss = orth_loss = jnp.float32(0.0)
+
+            # coarse dense GCN (replicated, C×C) + unpool + head
+            coarse = jax.nn.relu(pooled_adj @ (pooled_x @ wc) + bc)
+            h2 = s_local @ coarse                                # [npp, H]
+            logits = jnp.concatenate([h1, h2], axis=-1) @ wo + bo
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, jnp.clip(y_local, 0, None))
+            total = jax.lax.psum(jnp.sum(ce * mask_local), graph_axis)
+            count = jax.lax.psum(jnp.sum(mask_local), graph_axis)
+            ce_loss = total / jnp.maximum(count, 1.0)
+            loss = ce_loss + cut_coef * cut_loss + orth_coef * orth_loss
+            return loss, (ce_loss, cut_loss, orth_loss)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # each device's grad holds the loss's sensitivity through ITS shard
+        # only (psum's transpose broadcasts the cotangent; replicated coarse
+        # math feeds only the local CE terms) — summing over the graph axis
+        # reassembles the full gradient, as in make_graph_parallel_gcn_step
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, graph_axis), grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, (loss,) + aux
+
+    shard_spec = P(graph_axis, None)
+    edge_spec = P(graph_axis)
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), shard_spec, edge_spec, edge_spec, edge_spec,
+                  P(graph_axis), P(graph_axis), P(graph_axis)),
+        out_specs=(P(), P(), (P(), P(), P(), P())),
     )
     return jax.jit(step), optimizer
 
