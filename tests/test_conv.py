@@ -416,3 +416,20 @@ def test_adj_norm_edge_does_not_cache_tracers(rng):
     assert cache == {}  # nothing stored under trace
     adj_norm_edge(ei, 3, np.ones(3, np.float32), cache=cache)
     assert len(cache) == 1  # eager call caches fine
+
+
+def test_gcn_edge_dropout_requires_key(rng):
+    """Training with edge_drop_rate > 0 and no PRNG key must raise — a
+    silent skip would train unregularized (same contract as drop_edge and
+    gat_attention_ell)."""
+    x, ei, ew = random_graph(rng, 12, 30, 4)
+    adj = SparseMatrix(ei, ew, (12, 12))
+    w = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))
+    with pytest.raises(ValueError, match="PRNG key"):
+        tnn.gcn(jnp.asarray(x), adj, w, edge_drop_rate=0.5, training=True)
+    # with a key (or at inference) it runs
+    out = tnn.gcn(jnp.asarray(x), adj, w, edge_drop_rate=0.5, training=True,
+                  dropout_key=jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(out)).all()
+    out = tnn.gcn(jnp.asarray(x), adj, w, edge_drop_rate=0.5, training=False)
+    assert np.isfinite(np.asarray(out)).all()

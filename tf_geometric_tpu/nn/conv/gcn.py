@@ -165,7 +165,13 @@ def compile_and_dropout(normed_adj, cache, cache_key: str, edge_drop_rate: float
     bernoulli mask on the per-edge values, re-skinned onto the static packed
     layout via the slot↔edge-id maps (fwd and transpose stay consistent);
     otherwise falls back to COO value dropout. Inference just compiles."""
-    if training and edge_drop_rate > 0.0 and dropout_key is not None:
+    if training and edge_drop_rate > 0.0 and dropout_key is None:
+        raise ValueError(
+            "edge dropout requires a PRNG key when training with "
+            "edge_drop_rate > 0 — pass dropout_key= (functional API) or "
+            "rngs={'dropout': key} (layers); a silent no-op would train "
+            "unregularized (same contract as drop_edge/gat_attention_ell)")
+    if training and edge_drop_rate > 0.0:
         ell = maybe_compile_ell(normed_adj, cache, cache_key)
         from ...ops.ell import EllAdj
         if isinstance(ell, EllAdj) and ell.slot_eid is not None:
