@@ -174,7 +174,9 @@ def compile_and_dropout(normed_adj, cache, cache_key: str, edge_drop_rate: float
     if training and edge_drop_rate > 0.0:
         ell = maybe_compile_ell(normed_adj, cache, cache_key)
         from ...ops.ell import EllAdj
-        if isinstance(ell, EllAdj) and ell.slot_eid is not None:
+        from ...ops.ell_bucketed import BucketedEllAdj
+        if isinstance(ell, BucketedEllAdj) or (
+                isinstance(ell, EllAdj) and ell.slot_eid is not None):
             keep = jax.random.bernoulli(dropout_key, 1.0 - edge_drop_rate,
                                         normed_adj.value.shape)
             dropped = jnp.where(keep,
@@ -235,12 +237,24 @@ def maybe_compile_ell(normed_adj, cache: Optional[dict], cache_key: str):
         return ell
     if isinstance(normed_adj.value, jax.core.Tracer):
         return normed_adj  # can't build host-side layouts while tracing
-    from ...ops.ell import EllAdj
+    from ...ops import config as _config
     # split_diag: a normalized adjacency with self-loops has ~N diagonal
     # entries (~13% of edges at arxiv scale) that become a free elementwise
     # multiply-add instead of gather transactions
-    ell = EllAdj.from_coo(normed_adj.index, normed_adj.value, normed_adj.shape,
-                          split_diag=normed_adj.shape[0] == normed_adj.shape[1])
+    square = normed_adj.shape[0] == normed_adj.shape[1]
+    if _config.ell_layout == "uniform":
+        from ...ops.ell import EllAdj
+        ell = EllAdj.from_coo(normed_adj.index, normed_adj.value,
+                              normed_adj.shape, split_diag=square)
+    else:
+        # degree-bucketed slots where the sorted-segment tail is heavy
+        # (per-direction cost choice; +31% on the headline GCN step —
+        # ops/ell_bucketed.py, benchmarks/bucketed_ab.py)
+        from ...ops.ell_bucketed import BucketedEllAdj
+        ell = BucketedEllAdj.from_coo(
+            normed_adj.index, normed_adj.value, normed_adj.shape,
+            split_diag=square,
+            layout="auto" if _config.ell_layout == "auto" else "bucketed")
     cache[ell_key] = ell
     return ell
 

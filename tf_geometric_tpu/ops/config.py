@@ -43,3 +43,22 @@ ell_attention_unroll_all = True
 def set_ell_attention_unroll_all(flag: bool) -> None:
     global ell_attention_unroll_all
     ell_attention_unroll_all = flag
+
+
+# Layout for cache-compiled adjacencies (maybe_compile_ell):
+#   "auto"     — BucketedEllAdj with per-direction cost choice (default):
+#                degree-bucketed slot groups where the sorted-segment tail
+#                is heavy, classic uniform-K where it is not. Measured on
+#                the headline GCN step (benchmarks/bucketed_ab.py, v5e):
+#                12.2 -> 9.35 ms (+31% edges/s) on the skewed-in-degree
+#                arxiv-scale graph.
+#   "bucketed" — force degree buckets on both directions.
+#   "uniform"  — classic EllAdj (the pre-bucketing behavior).
+ell_layout = "auto"
+
+
+def set_ell_layout(layout: str) -> None:
+    if layout not in ("auto", "bucketed", "uniform"):
+        raise ValueError(f"ell_layout must be auto|bucketed|uniform, got {layout!r}")
+    global ell_layout
+    ell_layout = layout

@@ -1,0 +1,368 @@
+"""Degree-bucketed ELL SpMM: per-degree-group slot counts for heavy tails.
+
+The uniform-K ELL (ops/ell.py) is optimal when the degree distribution is
+concentrated near its mean, but on skewed sides (e.g. the in-degree of a
+preferential-attachment citation graph) a large fraction of edges lands in
+the sorted-segment tail, which costs ~6× more per row than a dense slot
+gather. Measured on the headline graph (benchmarks/gcn_phase_times.py,
+benchmarks/ell_k_sweep.py, v5e, F=40):
+
+    slot gather    ≈ 2.1 ns/row  (valid or padding alike)
+    tail row       ≈ 13.2 ns/row (gather + sorted segment_sum)
+    → forward pass 6.55 ms (24.5% tail) vs transpose 4.10 ms (8.6% tail)
+      for the SAME matrix and K
+
+This layout groups rows by ceil-pow2(degree) — each group gets its own slot
+width K ∈ ``caps`` — so slot waste stays bounded (< 2× within a group) while
+the tail shrinks to rows beyond ``caps[-1]``. Group outputs are concatenated
+and assembled into row order by ONE inverse-permutation gather (~3 ns/row).
+Raising the uniform K instead does NOT work: K=16 already loses
+(ell_k_sweep.py) because every row pays every slot lane.
+
+Whether bucketing wins is decided PER DIRECTION from the measured cost
+constants above — on the headline graph the forward side buckets
+(estimated 6.55 → ~4.3 ms) while the transpose keeps the classic layout
+(bucketing it would add the unpermute pass for almost no tail savings).
+
+Values are treated as constants (the cached-normalization case —
+``ell_spmm(..., diff_values=False)`` semantics); ``with_edge_values``
+re-skins per-edge values (edge dropout) through the eid maps exactly like
+``EllAdj``.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.union_utils import convert_union_to_numpy
+from .ell import _choose_k, build_ell_arrays
+
+__all__ = ["BucketedEllAdj", "bucketed_spmm",
+           "SLOT_NS", "TAIL_NS", "UNPERM_NS"]
+
+# v5e cost model (ns/row) for the layout choice — see module docstring.
+SLOT_NS = 2.1
+TAIL_NS = 13.2
+UNPERM_NS = 3.0
+
+_DEFAULT_CAPS = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+class EllGroup(NamedTuple):
+    """One degree bucket: rows whose degree fits this group's slot width.
+
+    ``row_ids is None`` marks a classic (ungrouped) side: the single group
+    covers every row in natural order and needs no inverse permutation.
+    """
+    row_ids: Optional[jnp.ndarray]   # [Ng] original row indices, or None
+    slots_col: jnp.ndarray           # [Ng, Kg]
+    slots_val: jnp.ndarray           # [Ng, Kg]
+    slot_eid: jnp.ndarray            # [Ng, Kg]
+
+
+class BucketedSide(NamedTuple):
+    """One matmul direction: groups + optional inverse map + sorted tail."""
+    groups: Tuple[EllGroup, ...]
+    inv_map: Optional[jnp.ndarray]   # [num_rows] → row in concat(groups)+zero
+    tail_row: jnp.ndarray            # sorted, original row ids
+    tail_col: jnp.ndarray
+    tail_val: jnp.ndarray
+    tail_eid: jnp.ndarray
+
+
+def _side_matmul(side: BucketedSide, h, num_rows: int, diag_val):
+    """Per-group K dense gathers + unpermute + sorted tail + dense diag."""
+    n_src = h.shape[0]
+    outs = []
+    for g in side.groups:
+        Kg = g.slots_col.shape[1]
+        acc = jnp.zeros((g.slots_col.shape[0],) + h.shape[1:], h.dtype)
+        for k in range(Kg):
+            col_k = jnp.clip(g.slots_col[:, k], 0, n_src - 1)
+            acc = acc + jnp.take(h, col_k, axis=0) \
+                * g.slots_val[:, k:k + 1].astype(h.dtype)
+        outs.append(acc)
+    if side.inv_map is None:
+        out = outs[0]
+    else:
+        stacked = jnp.concatenate(
+            outs + [jnp.zeros((1,) + h.shape[1:], h.dtype)], axis=0)
+        out = jnp.take(stacked, side.inv_map, axis=0)
+    if side.tail_row.shape[0]:
+        safe_tc = jnp.clip(side.tail_col, 0, n_src - 1)
+        tmsg = jnp.take(h, safe_tc, axis=0) \
+            * side.tail_val[:, None].astype(h.dtype)
+        out = out + jax.ops.segment_sum(tmsg, side.tail_row,
+                                        num_segments=num_rows,
+                                        indices_are_sorted=True)
+    if diag_val is not None and diag_val.shape[0]:
+        out = out + h * diag_val[:, None].astype(h.dtype)
+    return out
+
+
+def _b_impl(fwd_side, bwd_side, diag_val, num_rows, num_cols, h):
+    return _side_matmul(fwd_side, h, num_rows, diag_val)
+
+
+_b_vjp = jax.custom_vjp(_b_impl, nondiff_argnums=(3, 4))
+
+
+def _b_fwd(fwd_side, bwd_side, diag_val, num_rows, num_cols, h):
+    out = _side_matmul(fwd_side, h, num_rows, diag_val)
+    return out, (bwd_side, diag_val)
+
+
+def _b_bwd(num_rows, num_cols, residuals, dy):
+    bwd_side, diag_val = residuals
+    # dh = Aᵀ dy on the transpose side's own layout (Aᵀ's diagonal == A's)
+    dh = _side_matmul(bwd_side, dy, num_cols, diag_val)
+    return None, None, None, dh
+
+
+_b_vjp.defvjp(_b_fwd, _b_bwd)
+
+
+def bucketed_spmm(adj: "BucketedEllAdj", h, compute_dtype=None):
+    """A @ h. Values are constants for AD (the cached-normalization case)."""
+    from . import config as _config
+    cd = compute_dtype if compute_dtype is not None else _config.ell_compute_dtype
+    orig_dtype = h.dtype
+    if cd is not None and orig_dtype != cd:
+        h = h.astype(cd)
+    out = _b_vjp(adj.fwd, adj.bwd, adj.diag_val, adj.shape[0], adj.shape[1], h)
+    if cd is not None and orig_dtype != cd:
+        out = out.astype(orig_dtype)
+    return out
+
+
+def _build_bucketed_side(rows, cols, vals, eids, num_rows, caps,
+                         eid_sentinel) -> BucketedSide:
+    """Vectorized host-side grouping. Rows with degree 0 map to the zero
+    row of the concatenated output; degree > caps[-1] overflows to the tail."""
+    order = np.argsort(rows, kind="stable")
+    r, c, v, e = rows[order], cols[order], vals[order], eids[order]
+    deg = (np.bincount(r, minlength=num_rows) if len(r)
+           else np.zeros(num_rows, np.int64))
+    starts = np.concatenate([[0], np.cumsum(deg)[:-1]])
+    pos = (np.arange(len(r)) - starts[r]) if len(r) else np.zeros(0, np.int64)
+
+    caps_arr = np.asarray(caps, np.int64)
+    # bucket of each row: index of smallest cap ≥ deg (deg 0 → no group;
+    # deg > caps[-1] → last group, overflow to tail)
+    bucket = np.searchsorted(caps_arr, np.minimum(deg, caps_arr[-1]))
+    cap_of_row = caps_arr[np.minimum(bucket, len(caps_arr) - 1)]
+    in_slot = pos < cap_of_row[r]
+
+    groups = []
+    inv_map = np.full(num_rows + 1, -1, np.int64)  # +1: tail sentinel rows
+    offset = 0
+    for bi, cap in enumerate(caps_arr):
+        rows_g = np.nonzero((bucket == bi) & (deg > 0))[0]
+        if rows_g.size == 0:
+            continue
+        ng = int(rows_g.size)
+        ng_pad = -(-ng // 8) * 8
+        sc = np.zeros((ng_pad, cap), np.int32)
+        sv = np.zeros((ng_pad, cap), np.float32)
+        se = np.full((ng_pad, cap), eid_sentinel, np.int32)
+        # local index of each group row
+        local = np.full(num_rows, -1, np.int64)
+        local[rows_g] = np.arange(ng)
+        sel = in_slot & (local[r] >= 0)
+        sc[local[r[sel]], pos[sel]] = c[sel]
+        sv[local[r[sel]], pos[sel]] = v[sel]
+        se[local[r[sel]], pos[sel]] = e[sel]
+        inv_map[rows_g] = offset + np.arange(ng)
+        offset += ng_pad
+        groups.append(EllGroup(row_ids=jnp.asarray(
+            np.concatenate([rows_g, np.full(ng_pad - ng, num_rows)])
+            .astype(np.int32)),
+            slots_col=jnp.asarray(sc), slots_val=jnp.asarray(sv),
+            slot_eid=jnp.asarray(se)))
+    zero_row = offset
+    inv_map[inv_map < 0] = zero_row
+
+    t_sel = ~in_slot
+    tr, tc, tv, te = r[t_sel], c[t_sel], v[t_sel], e[t_sel]
+    pad = (-len(tr)) % 128
+    if pad:
+        tr = np.concatenate([tr, np.full(pad, num_rows, np.int64)])
+        tc = np.concatenate([tc, np.zeros(pad, np.int64)])
+        tv = np.concatenate([tv, np.zeros(pad, np.float32)])
+        te = np.concatenate([te, np.full(pad, eid_sentinel, np.int64)])
+    return BucketedSide(
+        groups=tuple(groups),
+        inv_map=jnp.asarray(inv_map[:num_rows].astype(np.int32)),
+        tail_row=jnp.asarray(tr.astype(np.int32)),
+        tail_col=jnp.asarray(tc.astype(np.int32)),
+        tail_val=jnp.asarray(tv.astype(np.float32)),
+        tail_eid=jnp.asarray(te.astype(np.int32)))
+
+
+def _build_classic_side(rows, cols, vals, eids, num_rows, num_cols, k,
+                        eid_sentinel) -> BucketedSide:
+    sc, sv, tr, tc, tv, se, te = build_ell_arrays(
+        rows, cols, vals, num_rows, num_cols, k, edge_ids=eids,
+        eid_sentinel=eid_sentinel)
+    group = EllGroup(row_ids=None, slots_col=jnp.asarray(sc),
+                     slots_val=jnp.asarray(sv), slot_eid=jnp.asarray(se))
+    return BucketedSide(groups=(group,), inv_map=None,
+                        tail_row=jnp.asarray(tr), tail_col=jnp.asarray(tc),
+                        tail_val=jnp.asarray(tv), tail_eid=jnp.asarray(te))
+
+
+def _side_costs(deg, num_rows, caps, k_classic):
+    """(classic_ns, bucketed_ns) estimates from the v5e cost constants."""
+    tail_classic = int((deg - np.minimum(deg, k_classic)).sum())
+    cost_classic = num_rows * k_classic * SLOT_NS + tail_classic * TAIL_NS
+    caps_arr = np.asarray(caps, np.int64)
+    bucket = np.searchsorted(caps_arr, np.minimum(deg, caps_arr[-1]))
+    cap_of_row = caps_arr[np.minimum(bucket, len(caps_arr) - 1)]
+    slot_gathers = int(cap_of_row[deg > 0].sum())
+    tail_b = int((deg - np.minimum(deg, cap_of_row)).sum())
+    cost_bucketed = (slot_gathers * SLOT_NS + tail_b * TAIL_NS
+                     + num_rows * UNPERM_NS)
+    return cost_classic, cost_bucketed
+
+
+@jax.tree_util.register_pytree_node_class
+class BucketedEllAdj:
+    """Dual-direction sparse adjacency with per-direction layout choice:
+    degree-bucketed ELL where the tail is heavy, classic uniform-K ELL where
+    it is not. Values are AD-constants; duck-types the EllAdj surface
+    (``matmul`` / ``@`` / ``dropout`` / ``with_edge_values``)."""
+
+    __slots__ = ("fwd", "bwd", "diag_val", "diag_eid", "_shape", "_num_edges")
+
+    def __init__(self, fwd, bwd, diag_val, diag_eid, shape, num_edges):
+        self.fwd = fwd
+        self.bwd = bwd
+        if diag_val is None:
+            diag_val = jnp.zeros((0,), jnp.float32)
+            diag_eid = jnp.zeros((0,), jnp.int32)
+        self.diag_val = diag_val
+        self.diag_eid = diag_eid
+        self._shape = tuple(shape)
+        self._num_edges = num_edges
+
+    def tree_flatten(self):
+        return ((self.fwd, self.bwd, self.diag_val, self.diag_eid),
+                (self._shape, self._num_edges))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.fwd, obj.bwd, obj.diag_val, obj.diag_eid = children
+        obj._shape, obj._num_edges = aux
+        return obj
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def num_edges(self):
+        return self._num_edges
+
+    @classmethod
+    def from_coo(cls, index, value, shape, caps=_DEFAULT_CAPS,
+                 split_diag: bool = False,
+                 layout: str = "auto") -> "BucketedEllAdj":
+        """Host-side build (eager only). ``layout``: "auto" chooses per
+        direction from the cost model; "bucketed"/"classic" force it."""
+        if layout not in ("auto", "bucketed", "classic"):
+            raise ValueError(f"layout must be auto|bucketed|classic, got {layout!r}")
+        index = convert_union_to_numpy(index, np.int64)
+        value = convert_union_to_numpy(value, np.float32)
+        if value is None:
+            value = np.ones(index.shape[1], np.float32)
+        num_rows, num_cols = int(shape[0]), int(shape[1])
+        num_edges = index.shape[1]
+        ok = ((index[0] >= 0) & (index[0] < num_rows)
+              & (index[1] >= 0) & (index[1] < num_cols))
+        diag_val = diag_eid = None
+        if split_diag:
+            if num_rows != num_cols:
+                raise ValueError("split_diag requires a square matrix")
+            d_idx = np.nonzero(ok & (index[0] == index[1]))[0]
+            if len(d_idx):
+                d_rows = index[0][d_idx].astype(np.int64)
+                uniq_rows, first_pos = np.unique(d_rows, return_index=True)
+                chosen = d_idx[first_pos]
+                dv = np.zeros(num_rows, np.float32)
+                de = np.full(num_rows, num_edges, np.int64)
+                dv[uniq_rows] = value[chosen]
+                de[uniq_rows] = chosen
+                diag_val, diag_eid = jnp.asarray(dv), jnp.asarray(de, jnp.int32)
+                ok = ok.copy()
+                ok[chosen] = False
+        rows, cols, vals = index[0][ok], index[1][ok], value[ok]
+        eids = np.nonzero(ok)[0].astype(np.int64)
+
+        def build(r, c, n_rows, n_cols):
+            deg = (np.bincount(r, minlength=n_rows) if len(r)
+                   else np.zeros(n_rows, np.int64))
+            k_classic = _choose_k(len(r), n_rows)
+            cost_c, cost_b = _side_costs(deg, n_rows, caps, k_classic)
+            use_bucketed = (layout == "bucketed"
+                            or (layout == "auto" and cost_b < cost_c))
+            if use_bucketed:
+                return _build_bucketed_side(r, c, vals, eids, n_rows, caps,
+                                            num_edges)
+            return _build_classic_side(r, c, vals, eids, n_rows, n_cols,
+                                       k_classic, num_edges)
+
+        fwd = build(rows, cols, num_rows, num_cols)
+        bwd = build(cols, rows, num_cols, num_rows)
+        return cls(fwd, bwd, diag_val, diag_eid, (num_rows, num_cols),
+                   num_edges)
+
+    def with_edge_values(self, edge_values) -> "BucketedEllAdj":
+        """Re-skin per-edge values through the eid maps (both directions)."""
+        padded = jnp.concatenate([jnp.asarray(edge_values),
+                                  jnp.zeros((1,), jnp.asarray(edge_values).dtype)])
+        E = self._num_edges
+
+        def pick(eid):
+            return jnp.take(padded, jnp.clip(eid, 0, E), axis=0)
+
+        def reskin(side: BucketedSide) -> BucketedSide:
+            groups = tuple(g._replace(slots_val=pick(g.slot_eid))
+                           for g in side.groups)
+            return side._replace(groups=groups,
+                                 tail_val=pick(side.tail_eid))
+
+        diag_val = self.diag_val
+        if diag_val.shape[0]:
+            diag_val = pick(self.diag_eid)
+        return BucketedEllAdj(reskin(self.fwd), reskin(self.bwd), diag_val,
+                              self.diag_eid, self._shape, E)
+
+    # -- EllAdj-compatible surface -------------------------------------------
+    def matmul(self, h, num_or_size_splits=None):
+        from ..sparse.matrix import chunked_feature_matmul
+        return chunked_feature_matmul(lambda c: bucketed_spmm(self, c), h,
+                                      num_or_size_splits)
+
+    def __matmul__(self, h):
+        return bucketed_spmm(self, h)
+
+    def dropout(self, rate: float, key=None, training: bool = True):
+        if not training or rate <= 0.0 or key is None:
+            return self
+        raise NotImplementedError(
+            "edge dropout on BucketedEllAdj — use with_edge_values "
+            "(nn/conv/gcn.py does this) or the COO SparseMatrix path")
+
+    def __repr__(self):
+        def side_repr(s):
+            if s.inv_map is None:
+                return f"classic(K={s.groups[0].slots_col.shape[1]})"
+            return ("bucketed[" + ",".join(str(g.slots_col.shape[1])
+                                           for g in s.groups) + "]")
+        return (f"BucketedEllAdj(shape={self._shape}, "
+                f"fwd={side_repr(self.fwd)}, bwd={side_repr(self.bwd)}, "
+                f"tail={self.fwd.tail_row.shape[0]})")
