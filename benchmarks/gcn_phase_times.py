@@ -41,7 +41,6 @@ def main():
                                               maybe_compile_ell,
                                               precompute_propagated_features)
     from tf_geometric_tpu.ops import config as kernel_config
-    from tf_geometric_tpu.ops.ell import ell_spmm
     from tf_geometric_tpu.sparse import SparseMatrix
     from tf_geometric_tpu.utils.profiling import measure_step_time
 
@@ -80,12 +79,14 @@ def main():
         print(f"{name:>14}: {times[name]*1e3:7.2f} ms", flush=True)
 
     # SpMM fwd at F=NUM_CLASSES (the runtime width post-precompute):
-    # l -> adj @ l keeps a dependency chain
-    chain("spmm_f40", lambda l: (ell_spmm(adj, l),), logits0)
+    # l -> adj @ l keeps a dependency chain (adj may be EllAdj or
+    # BucketedEllAdj — both expose @)
+    print("layout:", repr(adj), flush=True)
+    chain("spmm_f40", lambda l: (adj @ l,), logits0)
 
     # transpose pass: d/dh of sum(adj@h * ct) = adj^T @ ct — chain on ct
     def t_pass(ct):
-        g = jax.grad(lambda hh: jnp.sum(ell_spmm(adj, hh) * ct))(logits0)
+        g = jax.grad(lambda hh: jnp.sum((adj @ hh) * ct))(logits0)
         return (g,)
     chain("spmm_T_f40", t_pass, logits0)
 

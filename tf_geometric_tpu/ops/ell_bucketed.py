@@ -50,6 +50,58 @@ UNPERM_NS = 3.0
 
 _DEFAULT_CAPS = (1, 2, 4, 8, 16, 32, 64, 128)
 
+# Adaptive-cap defaults (caps=None): bound the group count (each group is a
+# separately-unrolled slot loop — compile time) and the widest slot group.
+_MAX_GROUPS = 16
+_MAX_CAP = 256
+# Per-group fixed overhead expressed in slot-lane equivalents (launch +
+# row padding); keeps the DP from emitting near-empty groups.
+_GROUP_PENALTY_LANES = 1024
+
+
+def _optimal_caps(deg, max_groups: int = _MAX_GROUPS,
+                  max_cap: int = _MAX_CAP) -> Tuple[int, ...]:
+    """DP-optimal slot widths from the degree histogram.
+
+    Partitions the distinct (clipped) degrees into ≤ ``max_groups``
+    contiguous intervals minimizing total slot lanes
+    ``Σ_groups rows(group) · cap(group)`` plus a fixed per-group penalty.
+    The pow2 default wastes up to 2× lanes within a group (measured 1.31-
+    1.34× total on the headline graph); the DP caps land within ~3% of the
+    ``Σ deg`` ideal. Degrees above ``max_cap`` keep ``max_cap`` slots and
+    overflow to the sorted tail (handled by the builder).
+    """
+    deg = deg[deg > 0]
+    if deg.size == 0:
+        return (1,)
+    clipped = np.minimum(deg, max_cap)
+    ds, cnt = np.unique(clipped, return_counts=True)
+    m = len(ds)
+    if m <= max_groups:
+        return tuple(int(d) for d in ds)
+    csum = np.concatenate([[0], np.cumsum(cnt)])
+    INF = float("inf")
+    # cost[g][i] = min lanes to cover ds[:i] with exactly g groups, each
+    # group an interval whose cap is its largest degree
+    cost = np.full((max_groups + 1, m + 1), INF)
+    back = np.zeros((max_groups + 1, m + 1), np.int64)
+    cost[0][0] = 0.0
+    for g in range(1, max_groups + 1):
+        for i in range(g, m + 1):
+            j = np.arange(g - 1, i)  # last group = ds[j:i]
+            cands = cost[g - 1][j] + (csum[i] - csum[j]) * ds[i - 1] \
+                + _GROUP_PENALTY_LANES
+            b = int(np.argmin(cands))
+            cost[g][i] = cands[b]
+            back[g][i] = j[b]
+    g_best = int(np.argmin(cost[:, m]))
+    caps = []
+    i = m
+    for g in range(g_best, 0, -1):
+        caps.append(int(ds[i - 1]))
+        i = int(back[g][i])
+    return tuple(sorted(caps))
+
 
 class EllGroup(NamedTuple):
     """One degree bucket: rows whose degree fits this group's slot width.
@@ -268,11 +320,14 @@ class BucketedEllAdj:
         return self._num_edges
 
     @classmethod
-    def from_coo(cls, index, value, shape, caps=_DEFAULT_CAPS,
+    def from_coo(cls, index, value, shape, caps=None,
                  split_diag: bool = False,
                  layout: str = "auto") -> "BucketedEllAdj":
         """Host-side build (eager only). ``layout``: "auto" chooses per
-        direction from the cost model; "bucketed"/"classic" force it."""
+        direction from the cost model; "bucketed"/"classic" force it.
+        ``caps=None`` picks DP-optimal per-direction slot widths from the
+        degree histogram (``_optimal_caps``); pass an explicit tuple to
+        override (e.g. the pow2 ``_DEFAULT_CAPS``)."""
         if layout not in ("auto", "bucketed", "classic"):
             raise ValueError(f"layout must be auto|bucketed|classic, got {layout!r}")
         index = convert_union_to_numpy(index, np.int64)
@@ -305,13 +360,14 @@ class BucketedEllAdj:
         def build(r, c, n_rows, n_cols):
             deg = (np.bincount(r, minlength=n_rows) if len(r)
                    else np.zeros(n_rows, np.int64))
+            side_caps = caps if caps is not None else _optimal_caps(deg)
             k_classic = _choose_k(len(r), n_rows)
-            cost_c, cost_b = _side_costs(deg, n_rows, caps, k_classic)
+            cost_c, cost_b = _side_costs(deg, n_rows, side_caps, k_classic)
             use_bucketed = (layout == "bucketed"
                             or (layout == "auto" and cost_b < cost_c))
             if use_bucketed:
-                return _build_bucketed_side(r, c, vals, eids, n_rows, caps,
-                                            num_edges)
+                return _build_bucketed_side(r, c, vals, eids, n_rows,
+                                            side_caps, num_edges)
             return _build_classic_side(r, c, vals, eids, n_rows, n_cols,
                                        k_classic, num_edges)
 
