@@ -136,7 +136,22 @@ def test_gat_op_uses_fused_path(rng):
     out_cached = gat(jnp.asarray(x), jnp.asarray(ei), *args, num_heads=H,
                      cache=cache)
     (_, _, layout), = [v for k, v in cache.items() if k.startswith("gat_edges")]
-    assert isinstance(layout, GatEllLayout)
+    from tf_geometric_tpu.ops.ell_attention_bucketed import BucketedGatLayout
+    assert isinstance(layout, BucketedGatLayout)  # the default cache layout
+    # config opt-out restores the uniform-K fused layout
+    from tf_geometric_tpu.ops import config as kconf
+    kconf.set_ell_layout("uniform")
+    try:
+        cache_u = {}
+        out_uniform = gat(jnp.asarray(x), jnp.asarray(ei), *args, num_heads=H,
+                          cache=cache_u)
+        (_, _, lay_u), = [v for k, v in cache_u.items()
+                          if k.startswith("gat_edges")]
+        assert isinstance(lay_u, GatEllLayout)
+        np.testing.assert_allclose(np.asarray(out_uniform),
+                                   np.asarray(out_cached), rtol=1e-4, atol=1e-4)
+    finally:
+        kconf.set_ell_layout("auto")
     np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_cached),
                                rtol=1e-4, atol=1e-4)
 

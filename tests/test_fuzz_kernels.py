@@ -75,8 +75,9 @@ def test_ell_spmm_fuzz_forward_and_grads(seed):
                                    err_msg=f"grad seed={seed} split={split_diag}")
 
 
+@pytest.mark.parametrize("kernel", ["uniform", "bucketed"])
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
-def test_fused_attention_fuzz(seed):
+def test_fused_attention_fuzz(seed, kernel):
     rng = np.random.default_rng(100 + seed)
     n = int(rng.integers(4, 60))
     H, d = int(rng.integers(1, 5)), int(2 ** rng.integers(1, 4))
@@ -98,10 +99,17 @@ def test_fused_attention_fuzz(seed):
     K = rng.normal(size=(n, H * d)).astype(np.float32)
     V = rng.normal(size=(n, H * d)).astype(np.float32)
 
-    ell = EllAdj.from_coo(ei, np.ones(e, np.float32), (n, n))
-    layout = build_gat_layout(ell)
-    out = gat_attention_ell(layout, jnp.asarray(Q), jnp.asarray(K),
-                            jnp.asarray(V), H)
+    if kernel == "uniform":
+        ell = EllAdj.from_coo(ei, np.ones(e, np.float32), (n, n))
+        layout = build_gat_layout(ell)
+        attention = gat_attention_ell
+    else:
+        from tf_geometric_tpu.ops.ell_attention_bucketed import (
+            build_gat_layout_bucketed, gat_attention_bucketed)
+        layout = build_gat_layout_bucketed(ei, n, layout="bucketed")
+        attention = gat_attention_bucketed
+    out = attention(layout, jnp.asarray(Q), jnp.asarray(K),
+                    jnp.asarray(V), H)
     expected = _oracle_attention(ei, Q, K, V, H, d)
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-3, atol=1e-3,
                                err_msg=f"fused fwd seed={seed}")
@@ -110,7 +118,7 @@ def test_fused_attention_fuzz(seed):
     ct = rng.normal(size=out.shape).astype(np.float32)
 
     def fused_loss(q, k, v):
-        return jnp.sum(gat_attention_ell(layout, q, k, v, H) * ct)
+        return jnp.sum(attention(layout, q, k, v, H) * ct)
 
     def oracle_loss(q, k, v):
         neg = jnp.float32(-1e30)

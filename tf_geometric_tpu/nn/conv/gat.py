@@ -42,16 +42,26 @@ def _gat_edge_cache(edge_index, num_nodes: int, cache: Optional[dict]):
     import numpy as np
     order = np.argsort(ei_np[0], kind="stable")
     sorted_ei = ei_np[:, order]
-    from ...ops.ell import EllAdj
-    from ...ops.ell_attention import build_gat_layout
+    from ...ops import config as _config
     # NOTE: split_diag=True (dense row-aligned self-loop lane) is fully
-    # supported by the fused kernel and measured — identical fp32, 6.5%
+    # supported by the fused kernels and measured — identical fp32, 6.5%
     # SLOWER bf16 (112.8 vs 105.9 ms at arxiv scale): the extra dense
     # full-width passes cost more than the ~13% of gathers they remove.
     # Keep self-loops packed.
-    ell = EllAdj.from_coo(sorted_ei, np.ones(sorted_ei.shape[1], np.float32),
-                          (num_nodes, num_nodes))
-    layout = build_gat_layout(ell)
+    if _config.ell_layout == "uniform":
+        from ...ops.ell import EllAdj
+        from ...ops.ell_attention import build_gat_layout
+        ell = EllAdj.from_coo(sorted_ei,
+                              np.ones(sorted_ei.shape[1], np.float32),
+                              (num_nodes, num_nodes))
+        layout = build_gat_layout(ell)
+    else:
+        # degree-bucketed fused layout (ops/ell_attention_bucketed.py):
+        # lanes ≈ edges on every wide gather pass, per-side auto choice
+        from ...ops.ell_attention_bucketed import build_gat_layout_bucketed
+        layout = build_gat_layout_bucketed(
+            sorted_ei, num_nodes,
+            layout="auto" if _config.ell_layout == "auto" else "bucketed")
     entry = (jnp.asarray(sorted_ei), True, layout)
     cache[key] = entry
     return entry
@@ -112,7 +122,34 @@ def gat(x, edge_index,
     scale = jnp.sqrt(jnp.asarray(d_q, jnp.float32))
 
     from ...ops.ell_attention import GatEllLayout, gat_attention_ell
-    if isinstance(ell_layout, GatEllLayout) and d_q == d_v:
+    from ...ops.ell_attention_bucketed import (BucketedGatLayout,
+                                               gat_attention_bucketed)
+    if isinstance(ell_layout, BucketedGatLayout) and d_q != d_v:
+        # the merged-head fallback below needs an EllAdj; build and memoize
+        # one from the cached sorted edge list (concrete even at trace time
+        # under the cache-closure pattern)
+        if cache is not None and not isinstance(edge_index, jax.core.Tracer):
+            mh_key = f"gat_edges_{num_nodes}:mh_ell"
+            if mh_key not in cache:
+                import numpy as np
+                from ...ops.ell import EllAdj
+                ei_np = jax.device_get(edge_index)
+                cache[mh_key] = EllAdj.from_coo(
+                    ei_np, np.ones(ei_np.shape[1], np.float32),
+                    (num_nodes, num_nodes))
+            ell_layout = cache[mh_key]
+        else:
+            ell_layout = None  # plain segment path
+    if isinstance(ell_layout, BucketedGatLayout) and d_q == d_v:
+        # Degree-bucketed fused path (ops/ell_attention_bucketed.py): slot
+        # lanes ≈ edges on every wide gather pass; Q/dy ride a permuted row
+        # space (one wide permute gather per direction).
+        h_flat = gat_attention_bucketed(ell_layout, Q, K, V, num_heads,
+                                        edge_drop_rate=edge_drop_rate,
+                                        training=training,
+                                        dropout_key=dropout_key)
+        h_heads = h_flat.reshape(num_nodes, num_heads, d_v)
+    elif isinstance(ell_layout, GatEllLayout) and d_q == d_v:
         # Fully fused scatter-free path (ops/ell_attention.py): SDDMM with
         # row-aligned Q (no Q gather), dense slot-lane softmax + sorted tail,
         # weighted ELL aggregation, transpose-ELL backward. See
