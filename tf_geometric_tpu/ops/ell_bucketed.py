@@ -12,10 +12,12 @@ benchmarks/ell_k_sweep.py, v5e, F=40):
     → forward pass 6.55 ms (24.5% tail) vs transpose 4.10 ms (8.6% tail)
       for the SAME matrix and K
 
-This layout groups rows by ceil-pow2(degree) — each group gets its own slot
-width K ∈ ``caps`` — so slot waste stays bounded (< 2× within a group) while
-the tail shrinks to rows beyond ``caps[-1]``. Group outputs are concatenated
-and assembled into row order by ONE inverse-permutation gather (~3 ns/row).
+This layout groups rows by degree — DP-optimal slot widths from the degree
+histogram (``_optimal_caps``, ≤16 groups) — so slot lanes ≈ edges. Group
+outputs are concatenated and assembled into row order by ONE
+inverse-permutation gather (~3 ns/row). Rows beyond ``caps[-1]`` (hub rows)
+are ROW-SPLIT into full-width virtual rows merged back by a tiny sorted
+segment-sum (~E/caps[-1] rows), so no edge ever takes the sorted-COO tail.
 Raising the uniform K instead does NOT work: K=16 already loses
 (ell_k_sweep.py) because every row pays every slot lane.
 
@@ -106,13 +108,32 @@ def _optimal_caps(deg, max_groups: int = _MAX_GROUPS,
 class EllGroup(NamedTuple):
     """One degree bucket: rows whose degree fits this group's slot width.
 
+    Slot arrays are stored TRANSPOSED — [Kg, Ng], slot-major — so the
+    per-slot row ``slots_col[k]`` is a contiguous read even when the layout
+    rides as a jit ARGUMENT (default row-major arg layouts make a [Ng, Kg]
+    column slice a 4-byte-strided gather; constants don't care because XLA
+    relays them out). Required for graphs whose packed arrays exceed the
+    remote-compile literal limit (~600MB HLO at Reddit scale → HTTP 413).
+
     ``row_ids is None`` marks a classic (ungrouped) side: the single group
     covers every row in natural order and needs no inverse permutation.
     """
     row_ids: Optional[jnp.ndarray]   # [Ng] original row indices, or None
-    slots_col: jnp.ndarray           # [Ng, Kg]
-    slots_val: jnp.ndarray           # [Ng, Kg]
-    slot_eid: jnp.ndarray            # [Ng, Kg]
+    slots_col: jnp.ndarray           # [Kg, Ng]
+    slots_val: jnp.ndarray           # [Kg, Ng]
+    slot_eid: jnp.ndarray            # [Kg, Ng]
+
+
+class VirtGroup(NamedTuple):
+    """Row-split overflow: rows with degree > caps[-1] are chopped into
+    ``deg // caps[-1]`` virtual rows of full width (the remainder re-enters
+    the normal buckets). Virtual outputs merge into their owner row by ONE
+    tiny sorted segment-sum (~E/caps[-1] rows) — ~6× cheaper per edge than
+    the sorted-COO tail it replaces on hub-heavy graphs."""
+    owner: jnp.ndarray               # [Nv_pad] original row ids, sorted
+    slots_col: jnp.ndarray           # [caps[-1], Nv_pad] (slot-major)
+    slots_val: jnp.ndarray
+    slot_eid: jnp.ndarray
 
 
 class BucketedSide(NamedTuple):
@@ -123,6 +144,7 @@ class BucketedSide(NamedTuple):
     tail_col: jnp.ndarray
     tail_val: jnp.ndarray
     tail_eid: jnp.ndarray
+    virt: Optional[VirtGroup] = None
 
 
 def _side_matmul(side: BucketedSide, h, num_rows: int, diag_val):
@@ -130,12 +152,12 @@ def _side_matmul(side: BucketedSide, h, num_rows: int, diag_val):
     n_src = h.shape[0]
     outs = []
     for g in side.groups:
-        Kg = g.slots_col.shape[1]
-        acc = jnp.zeros((g.slots_col.shape[0],) + h.shape[1:], h.dtype)
+        Kg = g.slots_col.shape[0]
+        acc = jnp.zeros((g.slots_col.shape[1],) + h.shape[1:], h.dtype)
         for k in range(Kg):
-            col_k = jnp.clip(g.slots_col[:, k], 0, n_src - 1)
+            col_k = jnp.clip(g.slots_col[k], 0, n_src - 1)
             acc = acc + jnp.take(h, col_k, axis=0) \
-                * g.slots_val[:, k:k + 1].astype(h.dtype)
+                * g.slots_val[k][:, None].astype(h.dtype)
         outs.append(acc)
     if side.inv_map is None:
         out = outs[0]
@@ -148,6 +170,16 @@ def _side_matmul(side: BucketedSide, h, num_rows: int, diag_val):
         tmsg = jnp.take(h, safe_tc, axis=0) \
             * side.tail_val[:, None].astype(h.dtype)
         out = out + jax.ops.segment_sum(tmsg, side.tail_row,
+                                        num_segments=num_rows,
+                                        indices_are_sorted=True)
+    if side.virt is not None:
+        v = side.virt
+        vacc = jnp.zeros((v.slots_col.shape[1],) + h.shape[1:], h.dtype)
+        for k in range(v.slots_col.shape[0]):
+            col_k = jnp.clip(v.slots_col[k], 0, n_src - 1)
+            vacc = vacc + jnp.take(h, col_k, axis=0) \
+                * v.slots_val[k][:, None].astype(h.dtype)
+        out = out + jax.ops.segment_sum(vacc, v.owner,
                                         num_segments=num_rows,
                                         indices_are_sorted=True)
     if diag_val is not None and diag_val.shape[0]:
@@ -193,7 +225,10 @@ def bucketed_spmm(adj: "BucketedEllAdj", h, compute_dtype=None):
 def _build_bucketed_side(rows, cols, vals, eids, num_rows, caps,
                          eid_sentinel) -> BucketedSide:
     """Vectorized host-side grouping. Rows with degree 0 map to the zero
-    row of the concatenated output; degree > caps[-1] overflows to the tail."""
+    row of the concatenated output; rows with degree > caps[-1] are ROW-
+    SPLIT: ``deg // caps[-1]`` full-width virtual rows (merged back by one
+    tiny sorted segment-sum) with the remainder re-entering the buckets —
+    no edge ever takes the slow sorted-COO tail."""
     order = np.argsort(rows, kind="stable")
     r, c, v, e = rows[order], cols[order], vals[order], eids[order]
     deg = (np.bincount(r, minlength=num_rows) if len(r)
@@ -202,17 +237,21 @@ def _build_bucketed_side(rows, cols, vals, eids, num_rows, caps,
     pos = (np.arange(len(r)) - starts[r]) if len(r) else np.zeros(0, np.int64)
 
     caps_arr = np.asarray(caps, np.int64)
-    # bucket of each row: index of smallest cap ≥ deg (deg 0 → no group;
-    # deg > caps[-1] → last group, overflow to tail)
-    bucket = np.searchsorted(caps_arr, np.minimum(deg, caps_arr[-1]))
+    cap_max = int(caps_arr[-1])
+    chunks = np.where(deg > cap_max, deg // cap_max, 0)
+    deg_eff = deg - chunks * cap_max            # remainder enters the buckets
+    # bucket of each row by its REMAINDER degree (0 → no regular group)
+    bucket = np.searchsorted(caps_arr, deg_eff)
     cap_of_row = caps_arr[np.minimum(bucket, len(caps_arr) - 1)]
-    in_slot = pos < cap_of_row[r]
+    virt_edge = pos < chunks[r] * cap_max
+    pos_reg = pos - chunks[r] * cap_max         # lane within the regular slot
+    in_slot = ~virt_edge                        # remainder always fits
 
     groups = []
-    inv_map = np.full(num_rows + 1, -1, np.int64)  # +1: tail sentinel rows
+    inv_map = np.full(num_rows + 1, -1, np.int64)
     offset = 0
     for bi, cap in enumerate(caps_arr):
-        rows_g = np.nonzero((bucket == bi) & (deg > 0))[0]
+        rows_g = np.nonzero((bucket == bi) & (deg_eff > 0))[0]
         if rows_g.size == 0:
             continue
         ng = int(rows_g.size)
@@ -224,34 +263,50 @@ def _build_bucketed_side(rows, cols, vals, eids, num_rows, caps,
         local = np.full(num_rows, -1, np.int64)
         local[rows_g] = np.arange(ng)
         sel = in_slot & (local[r] >= 0)
-        sc[local[r[sel]], pos[sel]] = c[sel]
-        sv[local[r[sel]], pos[sel]] = v[sel]
-        se[local[r[sel]], pos[sel]] = e[sel]
+        sc[local[r[sel]], pos_reg[sel]] = c[sel]
+        sv[local[r[sel]], pos_reg[sel]] = v[sel]
+        se[local[r[sel]], pos_reg[sel]] = e[sel]
         inv_map[rows_g] = offset + np.arange(ng)
         offset += ng_pad
         groups.append(EllGroup(row_ids=jnp.asarray(
             np.concatenate([rows_g, np.full(ng_pad - ng, num_rows)])
             .astype(np.int32)),
-            slots_col=jnp.asarray(sc), slots_val=jnp.asarray(sv),
-            slot_eid=jnp.asarray(se)))
+            slots_col=jnp.asarray(np.ascontiguousarray(sc.T)),
+            slots_val=jnp.asarray(np.ascontiguousarray(sv.T)),
+            slot_eid=jnp.asarray(np.ascontiguousarray(se.T))))
     zero_row = offset
     inv_map[inv_map < 0] = zero_row
 
-    t_sel = ~in_slot
-    tr, tc, tv, te = r[t_sel], c[t_sel], v[t_sel], e[t_sel]
-    pad = (-len(tr)) % 128
-    if pad:
-        tr = np.concatenate([tr, np.full(pad, num_rows, np.int64)])
-        tc = np.concatenate([tc, np.zeros(pad, np.int64)])
-        tv = np.concatenate([tv, np.zeros(pad, np.float32)])
-        te = np.concatenate([te, np.full(pad, eid_sentinel, np.int64)])
+    # virtual rows for the split hubs
+    virt = None
+    nv = int(chunks.sum())
+    if nv:
+        v_start = np.concatenate([[0], np.cumsum(chunks)[:-1]])
+        nv_pad = -(-nv // 8) * 8
+        vsc = np.zeros((nv_pad, cap_max), np.int32)
+        vsv = np.zeros((nv_pad, cap_max), np.float32)
+        vse = np.full((nv_pad, cap_max), eid_sentinel, np.int32)
+        owner = np.full(nv_pad, num_rows, np.int64)
+        split_rows = np.nonzero(chunks > 0)[0]
+        owner[:nv] = np.repeat(split_rows, chunks[split_rows])
+        vr = v_start[r[virt_edge]] + pos[virt_edge] // cap_max
+        vl = pos[virt_edge] % cap_max
+        vsc[vr, vl] = c[virt_edge]
+        vsv[vr, vl] = v[virt_edge]
+        vse[vr, vl] = e[virt_edge]
+        virt = VirtGroup(owner=jnp.asarray(owner.astype(np.int32)),
+                         slots_col=jnp.asarray(np.ascontiguousarray(vsc.T)),
+                         slots_val=jnp.asarray(np.ascontiguousarray(vsv.T)),
+                         slot_eid=jnp.asarray(np.ascontiguousarray(vse.T)))
+
+    empty_i = np.zeros(0, np.int32)
+    empty_f = np.zeros(0, np.float32)
     return BucketedSide(
         groups=tuple(groups),
         inv_map=jnp.asarray(inv_map[:num_rows].astype(np.int32)),
-        tail_row=jnp.asarray(tr.astype(np.int32)),
-        tail_col=jnp.asarray(tc.astype(np.int32)),
-        tail_val=jnp.asarray(tv.astype(np.float32)),
-        tail_eid=jnp.asarray(te.astype(np.int32)))
+        tail_row=jnp.asarray(empty_i), tail_col=jnp.asarray(empty_i),
+        tail_val=jnp.asarray(empty_f), tail_eid=jnp.asarray(empty_i),
+        virt=virt)
 
 
 def _build_classic_side(rows, cols, vals, eids, num_rows, num_cols, k,
@@ -259,8 +314,13 @@ def _build_classic_side(rows, cols, vals, eids, num_rows, num_cols, k,
     sc, sv, tr, tc, tv, se, te = build_ell_arrays(
         rows, cols, vals, num_rows, num_cols, k, edge_ids=eids,
         eid_sentinel=eid_sentinel)
-    group = EllGroup(row_ids=None, slots_col=jnp.asarray(sc),
-                     slots_val=jnp.asarray(sv), slot_eid=jnp.asarray(se))
+    group = EllGroup(row_ids=None,
+                     slots_col=jnp.asarray(np.ascontiguousarray(
+                         np.asarray(sc).T)),
+                     slots_val=jnp.asarray(np.ascontiguousarray(
+                         np.asarray(sv).T)),
+                     slot_eid=jnp.asarray(np.ascontiguousarray(
+                         np.asarray(se).T)))
     return BucketedSide(groups=(group,), inv_map=None,
                         tail_row=jnp.asarray(tr), tail_col=jnp.asarray(tc),
                         tail_val=jnp.asarray(tv), tail_eid=jnp.asarray(te))
@@ -271,11 +331,15 @@ def _side_costs(deg, num_rows, caps, k_classic):
     tail_classic = int((deg - np.minimum(deg, k_classic)).sum())
     cost_classic = num_rows * k_classic * SLOT_NS + tail_classic * TAIL_NS
     caps_arr = np.asarray(caps, np.int64)
-    bucket = np.searchsorted(caps_arr, np.minimum(deg, caps_arr[-1]))
+    cap_max = int(caps_arr[-1])
+    chunks = np.where(deg > cap_max, deg // cap_max, 0)
+    deg_eff = deg - chunks * cap_max
+    bucket = np.searchsorted(caps_arr, deg_eff)
     cap_of_row = caps_arr[np.minimum(bucket, len(caps_arr) - 1)]
-    slot_gathers = int(cap_of_row[deg > 0].sum())
-    tail_b = int((deg - np.minimum(deg, cap_of_row)).sum())
-    cost_bucketed = (slot_gathers * SLOT_NS + tail_b * TAIL_NS
+    slot_gathers = (int(cap_of_row[deg_eff > 0].sum())
+                    + int(chunks.sum()) * cap_max)
+    # virtual rows merge by a sorted segment-sum (a tail-row-priced op each)
+    cost_bucketed = (slot_gathers * SLOT_NS + int(chunks.sum()) * TAIL_NS
                      + num_rows * UNPERM_NS)
     return cost_classic, cost_bucketed
 
@@ -388,8 +452,11 @@ class BucketedEllAdj:
         def reskin(side: BucketedSide) -> BucketedSide:
             groups = tuple(g._replace(slots_val=pick(g.slot_eid))
                            for g in side.groups)
-            return side._replace(groups=groups,
-                                 tail_val=pick(side.tail_eid))
+            virt = side.virt
+            if virt is not None:
+                virt = virt._replace(slots_val=pick(virt.slot_eid))
+            return side._replace(groups=groups, tail_val=pick(side.tail_eid),
+                                 virt=virt)
 
         diag_val = self.diag_val
         if diag_val.shape[0]:
@@ -416,9 +483,12 @@ class BucketedEllAdj:
     def __repr__(self):
         def side_repr(s):
             if s.inv_map is None:
-                return f"classic(K={s.groups[0].slots_col.shape[1]})"
-            return ("bucketed[" + ",".join(str(g.slots_col.shape[1])
-                                           for g in s.groups) + "]")
+                return f"classic(K={s.groups[0].slots_col.shape[0]})"
+            r = ("bucketed[" + ",".join(str(g.slots_col.shape[0])
+                                        for g in s.groups) + "]")
+            if s.virt is not None:
+                r += f"+virt({s.virt.owner.shape[0]})"
+            return r
         return (f"BucketedEllAdj(shape={self._shape}, "
                 f"fwd={side_repr(self.fwd)}, bwd={side_repr(self.bwd)}, "
                 f"tail={self.fwd.tail_row.shape[0]})")
