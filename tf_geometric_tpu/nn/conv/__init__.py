@@ -9,4 +9,5 @@ from .chebynet import chebynet, chebynet_norm_edge, chebynet_cache_normed_edge
 from .gin import gin
 from .le_conv import le_conv
 from .graph_sage import (mean_graph_sage, sum_graph_sage, gcn_graph_sage,
-                         mean_pool_graph_sage, max_pool_graph_sage, lstm_graph_sage)
+                         mean_pool_graph_sage, max_pool_graph_sage, lstm_graph_sage,
+                         mean_graph_sage_fixed_k, sum_graph_sage_fixed_k)

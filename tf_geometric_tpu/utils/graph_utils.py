@@ -563,6 +563,58 @@ class RandomNeighborSampler:
         return np.stack([row, col], axis=0).astype(np.int32), weight.astype(np.float32)
 
 
+    def sample_dense(self, k: int, sampled_node_index=None):
+        """Fixed-k draw in dense SLOT-MAJOR form: ``(neighbor_idx [k, S],
+        neighbor_weight [k, S])`` — the TPU-native shape for
+        ``*_graph_sage_fixed_k`` (one contiguous row per slot lane even when
+        the arrays ride as jit arguments; see docs/performance.md).
+
+        Same draw semantics as ``sample(k=k, padding=True)``: with
+        replacement, isolated sources self-point with weight 0. With
+        ``sampled_node_index``, rows cover the sampled set in order and
+        out-of-set neighbors self-point with weight 0 (the flattened path
+        DROPS those edges instead — a mean over k counts them as zeros
+        either way, since ``segment_mean`` divides by the padded count)."""
+        if sampled_node_index is None:
+            sources = np.arange(self.num_nodes, dtype=np.int64)
+        else:
+            sources = convert_union_to_numpy(sampled_node_index, np.int64)
+        col, weight = self._draw_fixed_k(sources, k)
+        if sampled_node_index is not None:
+            lookup = np.full(self.num_nodes, -1, np.int64)
+            lookup[sources] = np.arange(len(sources))
+            new_col = lookup[col]
+            dropped = new_col < 0
+            new_col[dropped] = np.broadcast_to(
+                np.arange(len(sources))[:, None], col.shape)[dropped]
+            weight = np.where(dropped, 0.0, weight)
+            col = new_col
+        return (np.ascontiguousarray(col.T.astype(np.int32)),
+                np.ascontiguousarray(weight.T.astype(np.float32)))
+
+    def _draw_fixed_k(self, sources, k: int):
+        """Shared fixed-k with-replacement draw → (col [S, k], weight [S, k])."""
+        from .. import native
+        if native.available():
+            seed = int(self.rng.integers(np.iinfo(np.int64).max))
+            drawn = native.sample_fixed_k(
+                self.row_ptr, self.sorted_col.astype(np.int32),
+                self.sorted_weight, sources, k, seed)
+            if drawn is not None:
+                col, weight = drawn
+                return col.astype(np.int64), weight.astype(np.float32)
+        deg = (self.row_ptr[sources + 1] - self.row_ptr[sources]).astype(np.int64)
+        r = self.rng.random((len(sources), k))
+        offs = np.floor(r * np.maximum(deg, 1)[:, None]).astype(np.int64)
+        pick = self.row_ptr[sources][:, None] + offs
+        col = self.sorted_col[np.minimum(pick, len(self.sorted_col) - 1)]
+        weight = self.sorted_weight[np.minimum(pick, len(self.sorted_weight) - 1)]
+        isolated = deg == 0
+        if isolated.any():
+            col[isolated] = sources[isolated, None]
+            weight[isolated] = 0.0
+        return col, weight.astype(np.float32)
+
     def _sample_fixed_k(self, sources, k: int, virtual: bool):
         """Vectorized with-replacement draw of exactly k neighbors per source.
 
@@ -570,27 +622,7 @@ class RandomNeighborSampler:
         behavior). With ``virtual``, rows use local ids and neighbors outside
         the sampled set are dropped (reindexed via a lookup). Uses the C++
         OpenMP sampler when available (deterministic in (seed, source))."""
-        from .. import native
-        drawn = None
-        if native.available():
-            seed = int(self.rng.integers(np.iinfo(np.int64).max))
-            drawn = native.sample_fixed_k(
-                self.row_ptr, self.sorted_col.astype(np.int32),
-                self.sorted_weight, sources, k, seed)
-        if drawn is not None:
-            col, weight = drawn
-            col = col.astype(np.int64)
-        else:
-            deg = (self.row_ptr[sources + 1] - self.row_ptr[sources]).astype(np.int64)
-            r = self.rng.random((len(sources), k))
-            offs = np.floor(r * np.maximum(deg, 1)[:, None]).astype(np.int64)
-            pick = self.row_ptr[sources][:, None] + offs
-            col = self.sorted_col[np.minimum(pick, len(self.sorted_col) - 1)]
-            weight = self.sorted_weight[np.minimum(pick, len(self.sorted_weight) - 1)]
-            isolated = deg == 0
-            if isolated.any():
-                col[isolated] = sources[isolated, None]
-                weight[isolated] = 0.0
+        col, weight = self._draw_fixed_k(sources, k)
         row_ids = (np.arange(len(sources)) if virtual else sources)
         row = np.repeat(row_ids, k)
         col = col.reshape(-1)
