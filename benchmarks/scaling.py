@@ -33,12 +33,48 @@ def measure(num_devices, graph, use_rcm=True, steps=10, model="gcn"):
     from tf_geometric_tpu.sparse import SparseMatrix
     from tf_geometric_tpu.utils.graph_utils import add_self_loop_edge, adj_norm_edge
 
-    if use_rcm and num_devices > 1:
+    if use_rcm and num_devices > 1 and model != "sage":
         # balanced block-aligned partition (LPA + bin-packing + refinement)
+        # (sage samples uniformly over the whole graph: ordering is moot)
         perm = partition_order(graph.edge_index, graph.num_nodes, num_devices)
         graph, _ = apply_node_permutation(graph, perm)
 
     num_nodes = graph.num_nodes
+
+    if model == "sage":
+        from tf_geometric_tpu.parallel import (build_csr_shards,
+                                               make_sampled_sage_step)
+        k = (25, 10)
+        n_pad = -(-num_nodes // (128 * num_devices)) * (128 * num_devices)
+        x_np = np.asarray(graph.x)
+        x_p = np.zeros((n_pad, x_np.shape[1]), np.float32)
+        x_p[:num_nodes] = x_np
+        y_p = np.zeros(n_pad, np.int32)
+        y_p[:num_nodes] = np.asarray(graph.y)
+        mask = np.zeros(n_pad, np.float32)
+        mask[:num_nodes] = 1.0
+        shards = build_csr_shards(np.asarray(graph.edge_index), n_pad,
+                                  num_devices)
+        mesh = build_mesh({"graph": num_devices})
+        step, init_params, optimizer = make_sampled_sage_step(
+            mesh, shards, num_features=x_np.shape[1], num_classes=40,
+            k=k, hidden=128)
+        params = init_params(np.random.default_rng(0))
+        opt_state = optimizer.init(params)
+        import jax as _jax
+        with mesh:
+            params, opt_state, loss = step(
+                params, opt_state, _jax.random.PRNGKey(0), jnp.asarray(x_p),
+                jnp.asarray(y_p), jnp.asarray(mask))
+            _ = np.asarray(loss)
+            t = time.time()
+            for i in range(steps):
+                params, opt_state, loss = step(
+                    params, opt_state, _jax.random.PRNGKey(i + 1),
+                    jnp.asarray(x_p), jnp.asarray(y_p), jnp.asarray(mask))
+            _ = np.asarray(loss)
+            elapsed = (time.time() - t) / steps
+        return num_nodes * sum(k) / elapsed, 0.0
     if model == "gat":
         ei, ew = add_self_loop_edge(np.asarray(graph.edge_index), num_nodes)
         index, value = ei, np.asarray(ew, np.float32)
@@ -143,7 +179,7 @@ def main():
     import jax
     from tf_geometric_tpu.datasets.synthetic_citation import synthetic_citation_graph
 
-    model = os.environ.get("TFG_SCALING_MODEL", "gcn")  # gcn | gat | mincut
+    model = os.environ.get("TFG_SCALING_MODEL", "gcn")  # gcn | gat | mincut | sage
     graph = synthetic_citation_graph(num_nodes=20_000, num_features=64,
                                      num_classes=40, avg_degree=8, seed=0)
     max_devices = len(jax.devices())

@@ -12,6 +12,7 @@ from .halo import HaloSpec, build_halo_spec, halo_exchange, halo_spmm_split
 from .sharded import (build_mesh, make_graph_parallel_gat_step,
                       make_graph_parallel_gcn_step,
                       make_graph_parallel_mincut_step, sharded_spmm_local)
+from .sampled_sage import build_csr_shards, make_sampled_sage_step
 
 __all__ = [
     "EdgePartition", "apply_node_permutation", "bandwidth_reduction_order",
@@ -20,4 +21,5 @@ __all__ = [
     "HaloSpec", "build_halo_spec", "halo_exchange", "halo_spmm_split",
     "build_mesh", "make_graph_parallel_gcn_step", "make_graph_parallel_gat_step",
     "make_graph_parallel_mincut_step", "sharded_spmm_local",
+    "build_csr_shards", "make_sampled_sage_step",
 ]
