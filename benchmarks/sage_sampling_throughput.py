@@ -44,7 +44,7 @@ def main(num_nodes=232_965, num_edges=11_606_919, num_features=602,
     y = rng.integers(0, num_classes, num_nodes).astype(np.int32)
     t0 = time.time()
     if mode == "device":
-        sampler = DeviceNeighborSampler(edge_index)
+        sampler = DeviceNeighborSampler(edge_index, num_nodes=num_nodes)
         csr = sampler.csr_pytree()
     else:
         sampler = RandomNeighborSampler(edge_index, rng=0)

@@ -30,7 +30,8 @@ def main():
     x = jnp.asarray(graph.x)
     y = jnp.asarray(graph.y)
 
-    sampler = DeviceNeighborSampler(graph.edge_index, graph.edge_weight)
+    sampler = DeviceNeighborSampler(graph.edge_index, graph.edge_weight,
+                                    num_nodes=int(x.shape[0]))
     csr = sampler.csr_pytree()
 
     rng = np.random.default_rng(0)

@@ -106,6 +106,13 @@ def test_sample_dense_virtual_subset(rng):
                                   jnp.asarray(nk))
     assert out.shape == (5, 10)
     assert np.isfinite(np.asarray(out)).all()
+    # subset-mode semantics are ZERO-COUNTED (mean divides by k; dropped
+    # out-of-set slots count as zeros) — NOT the flattened path's drop
+    # semantics (which divides by the surviving count). Pin it to an oracle.
+    g = x[subset][np.clip(nb_idx, 0, 4)] * nb_w[..., None]
+    ref_nb = g.mean(axis=0) @ nk
+    np.testing.assert_allclose(np.asarray(out[:, 5:]), ref_nb,
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_isolated_nodes_zero_neighbor_term(rng):

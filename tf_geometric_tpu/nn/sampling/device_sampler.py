@@ -27,7 +27,41 @@ import jax.numpy as jnp
 
 from ...utils.union_utils import convert_union_to_numpy
 
-__all__ = ["DeviceNeighborSampler"]
+__all__ = ["DeviceNeighborSampler", "draw_fixed_k"]
+
+
+def draw_fixed_k(key, csr, k: int, self_ids=None):
+    """The shared device-side fixed-k with-replacement draw (pure jnp).
+
+    ``csr`` is a dict with ``row_start [S]``, ``degree [S]``, ``sorted_col``
+    (column ids in whatever space the caller gathers from) and optionally
+    ``sorted_weight``. Returns ``(idx [k, S], weight [k, S])``; zero-degree
+    rows emit ``self_ids`` (default ``arange(S)`` — pass the global ids of
+    the local rows under shard_map) with weight 0. Used by both
+    ``DeviceNeighborSampler.sample`` and the sharded sampled-SAGE step
+    (parallel/sampled_sage.py) so the two never drift.
+    """
+    deg = csr["degree"]
+    n = deg.shape[0]
+    degc = jnp.maximum(deg, 1)
+    # uniform in [0, deg): modulo bias is < deg / 2^31, negligible
+    r = jax.random.randint(key, (k, n), 0, jnp.iinfo(jnp.int32).max,
+                           dtype=jnp.int32)
+    pick = csr["row_start"][None, :] + r % degc[None, :]
+    pick = jnp.clip(pick, 0, max(csr["sorted_col"].shape[0] - 1, 0))
+    isolated = deg == 0
+    if self_ids is None:
+        self_ids = jnp.arange(n, dtype=jnp.int32)
+    idx = jnp.where(isolated[None, :], self_ids[None, :],
+                    jnp.take(csr["sorted_col"], pick.reshape(-1),
+                             axis=0).reshape(k, n))
+    alive = jnp.where(isolated, 0.0, 1.0).astype(jnp.float32)
+    if csr.get("sorted_weight") is None:
+        weight = jnp.broadcast_to(alive[None, :], (k, n))
+    else:
+        weight = jnp.take(csr["sorted_weight"], pick.reshape(-1),
+                          axis=0).reshape(k, n) * alive[None, :]
+    return idx, weight
 
 
 class DeviceNeighborSampler:
@@ -46,14 +80,12 @@ class DeviceNeighborSampler:
         self.num_nodes = num_nodes
         weight_np = (None if edge_weight is None
                      else convert_union_to_numpy(edge_weight, np.float32))
+        # native wrappers fall back to safe clamped numpy internally: strays
+        # (padded rows == num_nodes, negatives) sort to a trailing sentinel
+        # bucket past row_ptr[num_nodes] that no draw can reach
         from ... import native
-        if native.available() and edge_index.size:
-            order = native.sort_by_row(edge_index[0], num_nodes)
-            row_ptr = native.build_row_ptr(edge_index[0], num_nodes)
-        else:
-            order = np.argsort(edge_index[0], kind="stable")
-            counts = np.bincount(edge_index[0], minlength=num_nodes)
-            row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        order = native.sort_by_row(edge_index[0], num_nodes)
+        row_ptr = native.build_row_ptr(edge_index[0], num_nodes)
         self.row_start = jnp.asarray(row_ptr[:-1].astype(np.int32))
         self.degree = jnp.asarray(
             (row_ptr[1:] - row_ptr[:-1]).astype(np.int32))
@@ -81,24 +113,4 @@ class DeviceNeighborSampler:
         0.0 on zero-degree self-slots, broadcast lazily when uniform.
         """
         c = csr if csr is not None else self.csr_pytree()
-        n = c["row_start"].shape[0]
-        deg = c["degree"]
-        degc = jnp.maximum(deg, 1)
-        # uniform in [0, deg): modulo bias is < deg / 2^31, negligible
-        r = jax.random.randint(key, (k, n), 0, jnp.iinfo(jnp.int32).max,
-                               dtype=jnp.int32)
-        off = r % degc[None, :]
-        pick = c["row_start"][None, :] + off
-        pick = jnp.clip(pick, 0, c["sorted_col"].shape[0] - 1)
-        isolated = deg == 0
-        self_ids = jnp.arange(n, dtype=jnp.int32)
-        idx = jnp.where(isolated[None, :], self_ids[None, :],
-                        jnp.take(c["sorted_col"], pick.reshape(-1),
-                                 axis=0).reshape(k, n))
-        alive = jnp.where(isolated, 0.0, 1.0).astype(jnp.float32)
-        if c["sorted_weight"] is None:
-            weight = jnp.broadcast_to(alive[None, :], (k, n))
-        else:
-            weight = jnp.take(c["sorted_weight"], pick.reshape(-1),
-                              axis=0).reshape(k, n) * alive[None, :]
-        return idx, weight
+        return draw_fixed_k(key, c, k)

@@ -70,8 +70,10 @@ def _optimal_caps(deg, max_groups: int = _MAX_GROUPS,
     ``Σ_groups rows(group) · cap(group)`` plus a fixed per-group penalty.
     The pow2 default wastes up to 2× lanes within a group (measured 1.31-
     1.34× total on the headline graph); the DP caps land within ~3% of the
-    ``Σ deg`` ideal. Degrees above ``max_cap`` keep ``max_cap`` slots and
-    overflow to the sorted tail (handled by the builder).
+    ``Σ deg`` ideal. Degrees above ``max_cap`` are ROW-SPLIT by the builder
+    into full-width virtual rows, so callers should pass the POST-SPLIT
+    remainder degrees here (``from_coo`` does) — optimizing the clipped
+    pre-split histogram would allocate lanes for rows that no longer exist.
     """
     deg = deg[deg > 0]
     if deg.size == 0:
@@ -223,12 +225,13 @@ def bucketed_spmm(adj: "BucketedEllAdj", h, compute_dtype=None):
 
 
 def _build_bucketed_side(rows, cols, vals, eids, num_rows, caps,
-                         eid_sentinel) -> BucketedSide:
+                         eid_sentinel, split_width=None) -> BucketedSide:
     """Vectorized host-side grouping. Rows with degree 0 map to the zero
-    row of the concatenated output; rows with degree > caps[-1] are ROW-
-    SPLIT: ``deg // caps[-1]`` full-width virtual rows (merged back by one
-    tiny sorted segment-sum) with the remainder re-entering the buckets —
-    no edge ever takes the slow sorted-COO tail."""
+    row of the concatenated output; rows with degree > ``split_width``
+    (default ``caps[-1]``) are ROW-SPLIT: ``deg // split_width`` full-width
+    virtual rows (merged back by one tiny sorted segment-sum) with the
+    remainder re-entering the buckets — no edge ever takes the slow
+    sorted-COO tail. Requires ``caps[-1]`` ≥ every remainder degree."""
     order = np.argsort(rows, kind="stable")
     r, c, v, e = rows[order], cols[order], vals[order], eids[order]
     deg = (np.bincount(r, minlength=num_rows) if len(r)
@@ -237,7 +240,7 @@ def _build_bucketed_side(rows, cols, vals, eids, num_rows, caps,
     pos = (np.arange(len(r)) - starts[r]) if len(r) else np.zeros(0, np.int64)
 
     caps_arr = np.asarray(caps, np.int64)
-    cap_max = int(caps_arr[-1])
+    cap_max = int(split_width) if split_width is not None else int(caps_arr[-1])
     chunks = np.where(deg > cap_max, deg // cap_max, 0)
     deg_eff = deg - chunks * cap_max            # remainder enters the buckets
     # bucket of each row by its REMAINDER degree (0 → no regular group)
@@ -326,12 +329,12 @@ def _build_classic_side(rows, cols, vals, eids, num_rows, num_cols, k,
                         tail_val=jnp.asarray(tv), tail_eid=jnp.asarray(te))
 
 
-def _side_costs(deg, num_rows, caps, k_classic):
+def _side_costs(deg, num_rows, caps, k_classic, split_width=None):
     """(classic_ns, bucketed_ns) estimates from the v5e cost constants."""
     tail_classic = int((deg - np.minimum(deg, k_classic)).sum())
     cost_classic = num_rows * k_classic * SLOT_NS + tail_classic * TAIL_NS
     caps_arr = np.asarray(caps, np.int64)
-    cap_max = int(caps_arr[-1])
+    cap_max = int(split_width) if split_width is not None else int(caps_arr[-1])
     chunks = np.where(deg > cap_max, deg // cap_max, 0)
     deg_eff = deg - chunks * cap_max
     bucket = np.searchsorted(caps_arr, deg_eff)
@@ -424,14 +427,24 @@ class BucketedEllAdj:
         def build(r, c, n_rows, n_cols):
             deg = (np.bincount(r, minlength=n_rows) if len(r)
                    else np.zeros(n_rows, np.int64))
-            side_caps = caps if caps is not None else _optimal_caps(deg)
+            if caps is not None:
+                side_caps, width = tuple(caps), None
+            else:
+                # DP over the POST-SPLIT remainder degrees: hubs beyond
+                # _MAX_CAP become full-width virtual rows, so the buckets
+                # only ever see remainders in [0, _MAX_CAP)
+                chunks = np.where(deg > _MAX_CAP, deg // _MAX_CAP, 0)
+                side_caps = _optimal_caps(deg - chunks * _MAX_CAP)
+                width = _MAX_CAP
             k_classic = _choose_k(len(r), n_rows)
-            cost_c, cost_b = _side_costs(deg, n_rows, side_caps, k_classic)
+            cost_c, cost_b = _side_costs(deg, n_rows, side_caps, k_classic,
+                                         split_width=width)
             use_bucketed = (layout == "bucketed"
                             or (layout == "auto" and cost_b < cost_c))
             if use_bucketed:
                 return _build_bucketed_side(r, c, vals, eids, n_rows,
-                                            side_caps, num_edges)
+                                            side_caps, num_edges,
+                                            split_width=width)
             return _build_classic_side(r, c, vals, eids, n_rows, n_cols,
                                        k_classic, num_edges)
 

@@ -47,14 +47,11 @@ def build_csr_shards(edge_index, num_nodes: int, num_parts: int,
     n_local = num_nodes // num_parts
     edge_index = np.asarray(edge_index, np.int64)
     weight = None if edge_weight is None else np.asarray(edge_weight, np.float32)
+    # native wrappers fall back to safe clamped numpy internally (strays
+    # sort past row_ptr[num_nodes], unreachable by any draw)
     from .. import native
-    if native.available() and edge_index.size:
-        order = native.sort_by_row(edge_index[0], num_nodes)
-        row_ptr = native.build_row_ptr(edge_index[0], num_nodes)
-    else:
-        order = np.argsort(edge_index[0], kind="stable")
-        counts = np.bincount(edge_index[0], minlength=num_nodes)
-        row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    order = native.sort_by_row(edge_index[0], num_nodes)
+    row_ptr = native.build_row_ptr(edge_index[0], num_nodes)
     col_sorted = edge_index[1][order].astype(np.int32)
     w_sorted = None if weight is None else weight[order]
 
@@ -82,39 +79,22 @@ def build_csr_shards(edge_index, num_nodes: int, num_parts: int,
     return shards
 
 
-def _draw_local(key, csr, k: int):
-    """Per-device fixed-k draw → (global neighbor ids [k, n_local],
-    weight [k, n_local]). Mirrors DeviceNeighborSampler.sample semantics."""
-    deg = csr["degree"]
-    n_local = deg.shape[0]
-    degc = jnp.maximum(deg, 1)
-    r = jax.random.randint(key, (k, n_local), 0, jnp.iinfo(jnp.int32).max,
-                           dtype=jnp.int32)
-    pick = csr["row_start"][None, :] + r % degc[None, :]
-    pick = jnp.clip(pick, 0, csr["sorted_col"].shape[0] - 1)
-    idx = jnp.take(csr["sorted_col"], pick.reshape(-1),
-                   axis=0).reshape(k, n_local)
-    alive = (deg > 0).astype(jnp.float32)
-    if "sorted_weight" in csr:
-        weight = jnp.take(csr["sorted_weight"], pick.reshape(-1),
-                          axis=0).reshape(k, n_local) * alive[None, :]
-    else:
-        weight = jnp.broadcast_to(alive[None, :], (k, n_local))
-    # isolated rows: point at global node 0; weight 0 zeroes the term
-    idx = jnp.where(deg[None, :] > 0, idx, 0)
-    return idx, weight
-
-
 def _sampled_mean_layer(x_local, key, csr, k, self_kernel, neighbor_kernel,
                         bias, graph_axis, activation):
     """One mean-SAGE layer under shard_map: project locally, all_gather the
     PROJECTED table, draw + gather k slot lanes against global ids."""
+    from ..nn.sampling.device_sampler import draw_fixed_k
     hw_local = x_local @ neighbor_kernel                      # matmul-first
     hw_global = jax.lax.all_gather(hw_local, graph_axis, tiled=True)
-    idx, weight = _draw_local(key, csr, k)
-    acc = jnp.zeros((x_local.shape[0], hw_global.shape[1]), hw_global.dtype)
+    n_local = x_local.shape[0]
+    # zero-degree rows self-point at their GLOBAL id (weight 0 kills them)
+    block0 = jax.lax.axis_index(graph_axis).astype(jnp.int32) * n_local
+    self_ids = block0 + jnp.arange(n_local, dtype=jnp.int32)
+    idx, weight = draw_fixed_k(key, csr, k, self_ids=self_ids)
+    acc = jnp.zeros((n_local, hw_global.shape[1]), hw_global.dtype)
     for j in range(k):                                        # unrolled lanes
-        acc = acc + jnp.take(hw_global, idx[j], axis=0) * weight[j][:, None]
+        col_j = jnp.clip(idx[j], 0, hw_global.shape[0] - 1)
+        acc = acc + jnp.take(hw_global, col_j, axis=0) * weight[j][:, None]
     h = jnp.concatenate([x_local @ self_kernel, acc / k], axis=1) + bias
     return activation(h) if activation is not None else h
 

@@ -570,11 +570,16 @@ class RandomNeighborSampler:
         the arrays ride as jit arguments; see docs/performance.md).
 
         Same draw semantics as ``sample(k=k, padding=True)``: with
-        replacement, isolated sources self-point with weight 0. With
-        ``sampled_node_index``, rows cover the sampled set in order and
-        out-of-set neighbors self-point with weight 0 (the flattened path
-        DROPS those edges instead — a mean over k counts them as zeros
-        either way, since ``segment_mean`` divides by the padded count)."""
+        replacement, isolated sources self-point with weight 0. Without
+        ``sampled_node_index`` a mean over the k slots is IDENTICAL to
+        ``segment_mean`` over the flattened fixed-k edge list (both divide
+        by k). With ``sampled_node_index`` the two modes deliberately
+        differ: here out-of-set neighbors stay as weight-0 self-slots, so a
+        fixed-k mean counts them as ZEROS (denominator k — static shapes);
+        the flattened path DROPS those edges (reference parity,
+        graph_utils.py:692-713), so ``segment_mean`` divides by the
+        SURVIVING count. Rescale by ``k / (weight != 0).sum(0)`` if you
+        need drop semantics from the dense form."""
         if sampled_node_index is None:
             sources = np.arange(self.num_nodes, dtype=np.int64)
         else:
