@@ -132,13 +132,36 @@ def main():
         updates, s = optimizer.update(grads, s, p)
         return optax.apply_updates(p, updates), s, loss
 
-    if os.environ.get("BENCH_GRAPH_AS_ARGS") == "1":
+    graph_args_mode = os.environ.get("BENCH_GRAPH_AS_ARGS")
+    if graph_args_mode == "1":
         # arguments variant: small HLO (fast compile through the tunnel) but
-        # measured 2.1x SLOWER — XLA picks worse layouts for packed arrays
-        # passed as jit arguments than for inlined constants (45 vs 93 M
-        # edges/s at arxiv scale). Kept as a fallback for cold-cache runs.
+        # measured SLOWER — XLA picks worse layouts for packed arrays passed
+        # as jit arguments than for inlined constants (45M row-major, 85.1M
+        # slot-major vs 131M constants at arxiv scale). Kept as a fallback
+        # for cold-cache runs.
         def train_step(p, s):
             return train_step_impl(p, s, adj, px, x, y)
+    elif graph_args_mode == "auto":
+        # arguments + compiler-chosen layouts: Layout.AUTO lets XLA pick the
+        # argument layouts it would have picked for constants; the graph
+        # arrays are device_put ONCE into those layouts (they are
+        # loop-invariant), params/opt_state keep defaults.
+        import jax.tree_util as jtu
+        from jax.experimental.layout import Format, Layout
+        AUTO = Format(Layout.AUTO)
+        jitted = jax.jit(
+            lambda p, s, adj_, px_, x_, y_:
+            train_step_impl.__wrapped__(p, s, adj_, px_, x_, y_),
+            in_shardings=(None, None, AUTO, AUTO, AUTO, AUTO))
+        compiled = jitted.lower(params, opt_state, adj, px, x, y).compile()
+        fmts = compiled.input_formats[0]
+        flat_args, treedef = jtu.tree_flatten((params, opt_state, adj, px, x, y))
+        flat_fmts = jtu.tree_leaves(fmts)
+        placed = [jax.device_put(a, f_) for a, f_ in zip(flat_args, flat_fmts)]
+        _, _, adj_l, px_l, x_l, y_l = jtu.tree_unflatten(treedef, placed)
+
+        def train_step(p, s):
+            return compiled(p, s, adj_l, px_l, x_l, y_l)
     else:
         # default: constants variant — larger HLO but XLA chooses layouts
         # for the packed arrays; the persistent compile cache makes repeat
