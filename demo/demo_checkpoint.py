@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from demo_utils import load_cora, masked_softmax_loss
+from demo_utils import demo_steps, load_cora, masked_softmax_loss
 from tf_geometric_tpu.layers import GCN
 import flax.linen as nn
 
@@ -52,25 +52,27 @@ def main():
     checkpointer = ocp.StandardCheckpointer()
 
     # phase 1: train 50 steps, checkpoint
-    for step in range(50):
+    half = demo_steps(50)
+    for step in range(half):
         params, opt_state, loss = train_step(params, opt_state)
-    state = {"params": params, "opt_state": opt_state, "step": 50}
-    checkpointer.save(os.path.join(ckpt_dir, "step_50"), state)
+    state = {"params": params, "opt_state": opt_state, "step": half}
+    ckpt_path = os.path.join(ckpt_dir, f"step_{half}")
+    checkpointer.save(ckpt_path, state)
     checkpointer.wait_until_finished()
-    print(f"saved checkpoint at step 50 (loss={float(loss):.4f})")
+    print(f"saved checkpoint at step {half} (loss={float(loss):.4f})")
 
     # phase 2: restore into freshly-initialized state and continue
     fresh_params = model.init(jax.random.PRNGKey(1), x, ei, ew)["params"]
     fresh_state = {"params": fresh_params,
                    "opt_state": optimizer.init(fresh_params), "step": 0}
     restored = checkpointer.restore(
-        os.path.join(ckpt_dir, "step_50"),
+        ckpt_path,
         jax.tree.map(ocp.utils.to_shape_dtype_struct, fresh_state)
         if hasattr(ocp.utils, "to_shape_dtype_struct") else fresh_state)
     params, opt_state = restored["params"], restored["opt_state"]
     print(f"restored checkpoint from step {restored['step']}")
 
-    for step in range(50, 100):
+    for step in range(half, 2 * half):
         params, opt_state, loss = train_step(params, opt_state)
 
     logits = model.apply({"params": params}, x, ei, ew)

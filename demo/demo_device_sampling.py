@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from demo_utils import load_cora
+from demo_utils import demo_steps, load_cora
 from tf_geometric_tpu.nn import (DeviceNeighborSampler,
                                  mean_graph_sage_fixed_k)
 
@@ -75,7 +75,7 @@ def main():
         return jnp.argmax(logits, axis=-1)
 
     keys = jax.random.split(jax.random.PRNGKey(42), NUM_STEPS + 1)
-    for i in range(NUM_STEPS):
+    for i in range(demo_steps(NUM_STEPS)):
         params, opt_state, loss = train_step(params, opt_state, keys[i])
         if i % 20 == 0:
             pred = np.asarray(evaluate(params, keys[-1]))

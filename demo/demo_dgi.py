@@ -8,7 +8,7 @@ import flax.linen as nn
 import numpy as np
 import optax
 
-from demo_utils import load_cora
+from demo_utils import demo_steps, load_cora
 from tf_geometric_tpu.layers import GCN
 
 
@@ -66,6 +66,7 @@ def main(num_steps=150):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    num_steps = demo_steps(num_steps)
     for step in range(num_steps):
         key, k1, k2 = jax.random.split(key, 3)
         perm = jax.random.permutation(k1, x.shape[0])

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from demo_utils import load_cora
+from demo_utils import demo_steps, load_cora
 from tf_geometric_tpu.nn.conv.gcn import gcn_norm_adj
 from tf_geometric_tpu.parallel.partition import partition_edges_by_row
 from tf_geometric_tpu.parallel.sharded import build_mesh, make_graph_parallel_gcn_step
@@ -60,7 +60,7 @@ def main(num_steps=100):
     vals = jnp.asarray(part.value.reshape(-1))
 
     with mesh:
-        for s in range(num_steps):
+        for s in range(demo_steps(num_steps)):
             params, opt_state, loss = step(
                 params, opt_state, jnp.asarray(x_p), rows, cols, vals,
                 jnp.asarray(y_p), jnp.asarray(train_mask))

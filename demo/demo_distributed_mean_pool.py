@@ -12,7 +12,8 @@ import optax
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from demo_utils import load_graph_classification_data, padded_batch_generator
+from demo_utils import (demo_steps, load_graph_classification_data,
+                        padded_batch_generator)
 from tf_geometric_tpu.parallel.sharded import build_mesh
 
 HIDDEN = 32
@@ -127,7 +128,7 @@ def main(num_steps=150):
                 jnp.asarray(np.concatenate(ms)))
 
     with mesh:
-        for s in range(num_steps):
+        for s in range(demo_steps(num_steps)):
             batch, real = next(gen)
             args = shard_batch(batch, real)
             params, opt_state, loss = step(params, opt_state, *args)

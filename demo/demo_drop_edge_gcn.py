@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 import numpy as np
 
-from demo_utils import load_cora, train_node_classifier
+from demo_utils import demo_steps, load_cora, train_node_classifier
 from tf_geometric_tpu.layers import GCN, DropEdge
 
 NUM_LAYERS = 8
@@ -55,7 +55,7 @@ def main():
     _ = np.asarray(fwd(params)[0, :1])
     start = time.time()
     out = None
-    for _ in range(100):
+    for _ in range(demo_steps(100)):
         out = fwd(params)
     _ = np.asarray(out[0, :1])
     print(f"mean forward latency ({NUM_LAYERS}x{HIDDEN} GCN): "

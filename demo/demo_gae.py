@@ -7,7 +7,7 @@ import flax.linen as nn
 import numpy as np
 import optax
 
-from demo_utils import load_cora
+from demo_utils import demo_steps, load_cora
 from tf_geometric_tpu.layers import GCN
 from tf_geometric_tpu.utils.graph_utils import (edge_train_test_split,
                                                 negative_sampling)
@@ -69,6 +69,7 @@ def main(num_steps=150):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    num_steps = demo_steps(num_steps)
     for step in range(num_steps):
         key, subkey = jax.random.split(key)
         neg = negative_sampling(pos_train.shape[1], num_nodes,

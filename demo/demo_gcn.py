@@ -10,6 +10,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from demo_utils import demo_steps
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +50,7 @@ class GCNModel(nn.Module):
                                            cache=cache, training=training)
 
 
-def main():
+def main(num_steps=201):
     graph, (train_index, valid_index, test_index) = load_cora()
     graph.convert_data_to_tensor()
     num_classes = int(np.max(np.asarray(jax.device_get(graph.y)))) + 1
@@ -95,7 +96,8 @@ def main():
                 acc(jnp.asarray(np.asarray(valid_index, np.int32))),
                 acc(jnp.asarray(np.asarray(test_index, np.int32))))
 
-    for step in range(201):
+    num_steps = demo_steps(num_steps)
+    for step in range(num_steps):
         key, subkey = jax.random.split(key)
         params, opt_state, loss = train_step(params, opt_state, subkey)
         if step % 20 == 0:
@@ -113,7 +115,7 @@ def main():
     # with a tiny device_get instead (CLAUDE.md timing protocol)
     _ = np.asarray(forward(params)[0, :1])
     start = time.time()
-    iters = 100
+    iters = demo_steps(100)
     for _ in range(iters):
         out = forward(params)
     _ = np.asarray(out[0, :1])

@@ -11,7 +11,7 @@ import flax.linen as nn
 import numpy as np
 import optax
 
-from demo_utils import load_cora
+from demo_utils import demo_steps, load_cora
 from tf_geometric_tpu.datasets.ppi import PPIDataset
 from tf_geometric_tpu.layers import MeanGraphSage
 from tf_geometric_tpu.utils.graph_utils import RandomNeighborSampler
@@ -92,6 +92,7 @@ def main(num_epochs=8):
     def predict(params, x, edge_lists):
         return model.apply({"params": params}, x, edge_lists) > 0
 
+    num_epochs = demo_steps(num_epochs)
     for epoch in range(num_epochs):
         losses = []
         for g in train_graphs:

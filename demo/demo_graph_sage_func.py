@@ -13,6 +13,7 @@ import numpy as np
 import optax
 
 from demo_graph_sage import load_graphs
+from demo_utils import demo_steps
 from tf_geometric_tpu.nn import mean_graph_sage
 from tf_geometric_tpu.utils.graph_utils import RandomNeighborSampler
 
@@ -71,6 +72,7 @@ def main(num_epochs=8):
             tuple(jnp.asarray(a) for a in sampler.sample(k=k, padding=True))
             for k in NUM_SAMPLED_NEIGHBORS)
 
+    num_epochs = demo_steps(num_epochs)
     for epoch in range(num_epochs):
         losses = []
         for g in train_graphs:

@@ -13,6 +13,7 @@ import optax
 
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from demo_utils import demo_steps
 from tf_geometric_tpu.data.graph import HeteroGraph
 from tf_geometric_tpu.nn.kernel.segment import segment_mean
 
@@ -116,6 +117,7 @@ def main(num_steps=200):
         updates, s = optimizer.update(grads, s, p)
         return optax.apply_updates(p, updates), s, loss
 
+    num_steps = demo_steps(num_steps)
     for i in range(num_steps):
         params, opt_state, loss = step(params, opt_state)
         if i % 50 == 0:

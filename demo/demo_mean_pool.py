@@ -7,7 +7,8 @@ import flax.linen as nn
 import numpy as np
 import optax
 
-from demo_utils import load_graph_classification_data, padded_batch_generator
+from demo_utils import (demo_steps, load_graph_classification_data,
+                        padded_batch_generator)
 from tf_geometric_tpu.layers import GCN
 from tf_geometric_tpu.nn import mean_pool
 
@@ -72,6 +73,7 @@ def main(num_steps=300):
         mask[:real_graphs] = 1.0
         return jnp.asarray(y), jnp.asarray(mask)
 
+    num_steps = demo_steps(num_steps)
     for step in range(num_steps):
         batch, real = next(gen)
         y, mask = batch_labels(batch, real)

@@ -15,6 +15,14 @@ import optax
 from tf_geometric_tpu.layers.base import l2_loss
 
 
+def demo_steps(n: int) -> int:
+    """Loop-length cap for CI smoke runs: with ``TFG_DEMO_SMOKE_STEPS=k`` set,
+    every demo training loop runs at most k steps (tests/test_demo_smoke.py);
+    unset, the demos train to convergence as the reference demos do."""
+    cap = int(os.environ.get("TFG_DEMO_SMOKE_STEPS", "0"))
+    return min(n, cap) if cap > 0 else n
+
+
 def load_planetoid(name: str = "cora"):
     """Load a Planetoid dataset (cora/citeseer/pubmed), real files or the
     synthetic same-shape fallback. Honors the benchmark scripts'
@@ -54,6 +62,7 @@ def train_node_classifier(forward, params, y, splits, num_steps=200,
     the test accuracy at the best validation step (the reference benchmark
     protocol, bench_node_cls_early_stop_gcn.py:121-156).
     """
+    num_steps = demo_steps(num_steps)
     train_index, valid_index, test_index = splits
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
@@ -184,6 +193,7 @@ def run_graph_classification(make_model, batch_size=32, num_steps=300,
     ``(train_graphs, test_graphs)`` (official dataset splits — e.g.
     ModelNet — must NOT be re-split randomly); default: random 90/10.
     """
+    num_steps = demo_steps(num_steps)
     graphs, num_classes = load_graph_classification_data(dataset, seed=seed)
     if split is not None:
         train_graphs, test_graphs = split
