@@ -20,6 +20,10 @@ from ...utils.union_utils import convert_union_to_numpy
 
 __all__ = ["topk_pool", "topk_pool_fixed"]
 
+# the ragged host loop is O(num_sources) Python — fine for graph-pooling
+# batches (thousands of sources), a trap at Reddit scale
+_SLOW_PATH_WARN_THRESHOLD = 100_000
+
 
 def topk_pool(source_index, score, k: Optional[int] = None,
               ratio: Optional[float] = None) -> np.ndarray:
@@ -36,6 +40,13 @@ def topk_pool(source_index, score, k: Optional[int] = None,
     order = np.argsort(source_index, kind="stable")
     sorted_src = source_index[order]
     num_sources = int(sorted_src.max()) + 1 if sorted_src.size else 0
+    if num_sources > _SLOW_PATH_WARN_THRESHOLD:
+        import warnings
+        warnings.warn(
+            f"topk_pool: ragged host-side selection over {num_sources} "
+            "sources runs an O(num_sources) Python loop — use "
+            "topk_pool_fixed (jit/grad-safe, padded fixed-k) at this scale",
+            RuntimeWarning, stacklevel=2)
     counts = np.bincount(sorted_src, minlength=num_sources)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
 

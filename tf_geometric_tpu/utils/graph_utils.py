@@ -22,6 +22,10 @@ import numpy as np
 
 from .union_utils import convert_union_to_numpy
 
+# per-source Python loops (reference-parity ragged modes) are a trap past
+# ~100k sources; the vectorized fixed-k paths are the scale-safe variants
+_SLOW_PATH_WARN_THRESHOLD = 100_000
+
 __all__ = [
     "convert_edge_index_to_edge_hash",
     "convert_edge_hash_to_edge_index",
@@ -526,6 +530,13 @@ class RandomNeighborSampler:
 
         # every padding=True draw with a concrete k took the fixed-k fast
         # path above, so this loop only handles the without-replacement modes
+        if len(sources) > _SLOW_PATH_WARN_THRESHOLD:
+            import warnings
+            warnings.warn(
+                f"RandomNeighborSampler.sample: without-replacement mode "
+                f"loops over {len(sources)} sources in Python — use "
+                "padding=True with a fixed k (vectorized, static shapes) "
+                "at this scale", RuntimeWarning, stacklevel=2)
         rows, cols, weights = [], [], []
         for local_id, src in enumerate(sources):
             start, end = self.row_ptr[src], self.row_ptr[src + 1]
