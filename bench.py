@@ -81,7 +81,10 @@ def main():
         # full step: bf16 ON matched or beat OFF, so it stays the default.
         kernel_config.set_ell_compute_dtype(jnp.bfloat16)
 
-    graph = synthetic_ogbn_arxiv_like()
+    # scale overrides for fast CPU smoke runs (tests / wedged-tunnel days)
+    graph = synthetic_ogbn_arxiv_like(
+        num_nodes=int(os.environ.get("BENCH_NUM_NODES", 169_343)),
+        num_edges=int(os.environ.get("BENCH_NUM_EDGES", 1_166_243)))
     num_nodes, num_features = graph.x.shape
     cache = {}
     normed = gcn_norm_adj(SparseMatrix(graph.edge_index, graph.edge_weight,
@@ -216,7 +219,105 @@ def main():
         "value": round(edges_per_sec, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_sec / roofline_edges_per_sec, 4),
-    }))
+    }), flush=True)
+
+    # ---- workload 2: multi-head GAT (BASELINE config 2) --------------------
+    # The north-star metric is edges/s/chip on GCN+GAT — emit a second JSON
+    # line: full training step (fwd+bwd+Adam) of the fused degree-bucketed
+    # GAT (8 heads, ops/ell_attention_bucketed.py) on the same arxiv-scale
+    # graph. Reference surface: the SDDMM + segment-softmax + SpMM triple of
+    # tf_geometric/nn/conv/gat.py:73-89.
+    if os.environ.get("BENCH_SKIP_GAT") == "1":
+        return
+    from tf_geometric_tpu.nn.conv.gat import _gat_edge_cache, gat
+
+    HEADS, UNITS = 8, 256
+    sorted_ei, _, layout = _gat_edge_cache(jnp.asarray(graph.edge_index),
+                                           num_nodes, {})
+    num_edges_gat = int(sorted_ei.shape[1])  # self-looped edge count
+
+    gat_params = {
+        "wq": jnp.asarray(rng.normal(scale=0.05, size=(num_features, UNITS)),
+                          jnp.float32),
+        "bq": jnp.zeros(UNITS),
+        "wk": jnp.asarray(rng.normal(scale=0.05, size=(num_features, UNITS)),
+                          jnp.float32),
+        "bk": jnp.zeros(UNITS),
+        "wv": jnp.asarray(rng.normal(scale=0.05, size=(num_features, UNITS)),
+                          jnp.float32),
+        "wd": jnp.asarray(rng.normal(scale=0.05, size=(UNITS, NUM_CLASSES)),
+                          jnp.float32),
+        "bd": jnp.zeros(NUM_CLASSES),
+    }
+    gat_opt = optax.adam(1e-3)
+
+    def gat_loss(p):
+        h = gat(x, None, p["wq"], p["bq"], jax.nn.relu,
+                p["wk"], p["bk"], jax.nn.relu, p["wv"],
+                num_heads=HEADS, num_nodes=num_nodes,
+                ell_layout=layout, sorted_edge_index=sorted_ei)
+        logits = h @ p["wd"] + p["bd"]
+        return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+    # layout rides as jit constants (the measured-fast mode; the persistent
+    # compile cache absorbs the one-time large-HLO compile)
+    @jax.jit
+    def gat_step(p, s):
+        loss, grads = jax.value_and_grad(gat_loss)(p)
+        updates, s = gat_opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    gs = gat_opt.init(gat_params)
+    gp = gat_params
+    gp, gs, gat_l = gat_step(gp, gs)
+    _ = np.asarray(gat_l)
+
+    def gat_run(iters, p, s):
+        t = time.time()
+        for _ in range(iters):
+            p, s, l = gat_step(p, s)
+        _ = np.asarray(l)
+        return time.time() - t, p, s
+
+    _, gp, gs = gat_run(2, gp, gs)
+    t_los, t_his = [], []
+    for _ in range(3):
+        t_lo, gp, gs = gat_run(3, gp, gs)
+        t_hi, gp, gs = gat_run(9, gp, gs)
+        t_los.append(t_lo)
+        t_his.append(t_hi)
+    gat_step_time = (min(t_his) - min(t_los)) / 6
+    gat_edges_per_sec = num_edges_gat / gat_step_time
+
+    # Gather-transaction roofline, self-calibrated on this chip/run: the GAT
+    # step's irreducible memory work is SIX wide gather sets over the
+    # self-looped edge list — fwd SDDMM K[col], fwd aggregation V[col],
+    # bwd dã V[col], bwd dQ K[col], transpose dy[row], transpose Q[row].
+    # (Per-edge softmax weights/stats can ride existing gathers or recompute
+    # from row-aligned operands, so they add no algorithmic set; see
+    # benchmarks/README.md GAT phase analysis.) Calibrate the per-set cost
+    # with a pure random gather at the kernel's width and compute dtype.
+    compute_dtype = kernel_config.ell_compute_dtype or jnp.float32
+    probe = jnp.asarray(rng.normal(size=(num_nodes, UNITS)), compute_dtype)
+    gather_idx = jnp.asarray(
+        rng.integers(0, num_nodes, size=num_edges_gat).astype(np.int32))
+
+    @jax.jit
+    def gather_probe(a):
+        g = jnp.take(a, gather_idx, axis=0)
+        fold = jnp.sum(g.astype(jnp.float32)) * np.float32(1e-20)
+        return (a + fold.astype(a.dtype),)
+
+    from tf_geometric_tpu.utils.profiling import measure_step_time
+    t_set = measure_step_time(lambda a: gather_probe(a), (probe,), lo=5, hi=25)
+    gat_roofline_time = 6.0 * t_set
+
+    print(json.dumps({
+        "metric": "gat_arxiv_fwd_bwd_edges_per_sec_per_chip",
+        "value": round(gat_edges_per_sec, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(gat_roofline_time / gat_step_time, 4),
+    }), flush=True)
 
 
 if __name__ == "__main__":
