@@ -193,3 +193,57 @@ def test_gat_unequal_head_widths_with_bucketed_cache(rng):
     out_plain = run(None)
     np.testing.assert_allclose(np.asarray(out_cached), np.asarray(out_plain),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("compute_dtype", [None, "bfloat16"])
+def test_transpose_recompute_matches_flat_weight_path(rng, compute_dtype):
+    """The recompute transpose (stats riding the dy gather, bit-cast when the
+    compute dtype is 16-bit) must reproduce the flat-weight-gather transpose
+    bit-for-tolerance on all three grads, tail lanes included."""
+    from tf_geometric_tpu.ops import config as kconf
+
+    n, H, d = 21, 2, 4
+    ei, Q, K, V = _skewed_graph(rng, n, H, d, hub_deg=30)
+    # small explicit caps so the hub overflows into the tail lanes
+    layout = build_gat_layout_bucketed(ei, n, caps=[2, 8], layout="bucketed")
+    assert layout.fwd.tail_prow.shape[0] > 0  # the hub must overflow caps
+    dy = rng.normal(size=(n, H * d)).astype(np.float32)
+    cd = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+
+    def grads():
+        def loss(q, k, v):
+            return jnp.sum(gat_attention_bucketed(layout, q, k, v, H,
+                                                  compute_dtype=cd) * dy)
+        return jax.grad(loss, argnums=(0, 1, 2))(
+            jnp.asarray(Q), jnp.asarray(K), jnp.asarray(V))
+
+    assert kconf.ell_attention_recompute_transpose  # default ON
+    g_rec = grads()
+    kconf.set_ell_attention_recompute_transpose(False)
+    try:
+        g_flat = grads()
+    finally:
+        kconf.set_ell_attention_recompute_transpose(True)
+    # identical math modulo exp/log roundoff in the recomputed softmax
+    tol = 2e-2 if compute_dtype == "bfloat16" else 1e-5
+    for got, want in zip(g_rec, g_flat):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=tol, atol=tol)
+
+
+def test_transpose_recompute_skipped_under_edge_dropout(rng):
+    """Per-edge dropout masks can't be recomputed — the kernel must fall back
+    to the flat-weight path and still differentiate finitely."""
+    n, H, d = 16, 2, 4
+    ei, Q, K, V = _skewed_graph(rng, n, H, d, hub_deg=12)
+    layout = build_gat_layout_bucketed(ei, n, layout="bucketed")
+
+    def loss(q):
+        out = gat_attention_bucketed(layout, q, jnp.asarray(K),
+                                     jnp.asarray(V), H, edge_drop_rate=0.3,
+                                     training=True,
+                                     dropout_key=jax.random.PRNGKey(1))
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(Q))
+    assert np.isfinite(np.asarray(g)).all()

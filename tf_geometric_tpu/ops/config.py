@@ -45,6 +45,23 @@ def set_ell_attention_unroll_all(flag: bool) -> None:
     ell_attention_unroll_all = flag
 
 
+# Recompute attention weights inside the fused-GAT transpose pass instead of
+# gathering them from the flat [·, 2H] weight array. In the transaction-bound
+# regime the narrow weight gather costs a full transaction per lane — one of
+# the seven gather sets of the step (benchmarks/README.md phase table). The
+# recompute rides the per-row softmax stats (lse, gsum — 2H f32, bit-cast to
+# the compute dtype) on the existing dy gather and reads K/V row-aligned via
+# two extra N-row permutes: ~1.4M narrow transactions traded for ~0.34M.
+# Only applies when attention-dropout masks are scalar (inference, or
+# training without edge_drop) — per-edge masks can't be recomputed.
+ell_attention_recompute_transpose = True
+
+
+def set_ell_attention_recompute_transpose(flag: bool) -> None:
+    global ell_attention_recompute_transpose
+    ell_attention_recompute_transpose = flag
+
+
 # Layout for cache-compiled adjacencies (maybe_compile_ell):
 #   "auto"     — BucketedEllAdj with per-direction cost choice (default):
 #                degree-bucketed slot groups where the sorted-segment tail

@@ -490,7 +490,8 @@ def _fused_core(layout: BucketedGatLayout, Q, K, V, H, d,
     if ad_diag_p is not None:
         ad_diag = _unpermute(ad_diag_p, fwd.inv_pos, np_total)
         out = out + V * _expand(ad_diag, d).astype(V.dtype)
-    return out, (Q_p, a_groups, a_tail, a_diag_p)
+    # row_max/inv_denom feed the transpose-recompute backward (per-row lse)
+    return out, (Q_p, a_groups, a_tail, a_diag_p, row_max, inv_denom)
 
 
 def _flat_weights(ad_groups, ds_groups, ad_tail, ds_tail, H):
@@ -526,15 +527,44 @@ def _call_core(layout, H, d, Q, K, V, keep_slots, keep_tail, keep_diag,
 
 def _fused_fwd(layout, H, d, Q, K, V, keep_slots, keep_tail, keep_diag,
                diag_eid):
-    out, (Q_p, a_groups, a_tail, a_diag_p) = _call_core(
+    out, (Q_p, a_groups, a_tail, a_diag_p, row_max, inv_denom) = _call_core(
         layout, H, d, Q, K, V, keep_slots, keep_tail, keep_diag, diag_eid)
     return out, (layout, Q, K, V, Q_p, a_groups, a_tail, a_diag_p,
-                 keep_slots, keep_tail, keep_diag, diag_eid)
+                 row_max, inv_denom, keep_slots, keep_tail, keep_diag,
+                 diag_eid)
+
+
+def _pack_stats_rider(wide_p, stats_f32):
+    """Append per-row f32 stats to a wide operand as rider columns so ONE
+    gather fetches both. When the wide operand is 16-bit (bf16 compute
+    policy) each f32 stat is BIT-CAST into two 16-bit lanes — the gather
+    moves bits, the unpack restores exact f32 (no precision loss from
+    riding a narrow dtype)."""
+    if wide_p.dtype == jnp.float32:
+        return jnp.concatenate([wide_p, stats_f32], axis=-1)
+    assert jnp.dtype(wide_p.dtype).itemsize == 2, wide_p.dtype
+    bits = jax.lax.bitcast_convert_type(stats_f32, jnp.uint16)
+    rider = jax.lax.bitcast_convert_type(
+        bits.reshape(stats_f32.shape[0], -1), wide_p.dtype)
+    return jnp.concatenate([wide_p, rider], axis=-1)
+
+
+def _unpack_stats_rider(ext, width, num_stats):
+    """Inverse of :func:`_pack_stats_rider` on gathered rows."""
+    wide = ext[:, :width]
+    rider = ext[:, width:]
+    if ext.dtype == jnp.float32:
+        return wide, rider
+    bits = jax.lax.bitcast_convert_type(rider, jnp.uint16)
+    stats = jax.lax.bitcast_convert_type(
+        bits.reshape(ext.shape[0], num_stats, 2), jnp.float32)
+    return wide, stats
 
 
 def _fused_bwd(H, d, residuals, dy):
     (layout, Q, K, V, Q_p, a_groups, a_tail, a_diag_p,
-     keep_slots, keep_tail, keep_diag, diag_eid) = residuals
+     row_max, inv_denom, keep_slots, keep_tail, keep_diag,
+     diag_eid) = residuals
     fwd = layout.fwd
     bwd = layout.bwd
     N = layout.num_rows
@@ -637,56 +667,141 @@ def _fused_bwd(H, d, residuals, dy):
         dQ = dQ + K * _expand(ds_diag, d).astype(K.dtype)
 
     # --- transpose pass: dV[m] = Σ ã·dy[row], dK[m] = Σ ds·Q[row] -----------
-    # one narrow gather fetches both weights from the flat [·, 2H] array;
     # dy_p/Q_p are read directly (bwd.slots_col pre-composed to permuted
     # destination positions on host — see build_gat_layout_bucketed)
-    w_flat = _flat_weights(ad_groups, ds_groups, ad_tail, ds_tail, H)
-    zero_flat = layout.slot_total + layout.tail_total
-    dy_pz = jnp.concatenate([dy_p, jnp.zeros((1, dy_p.shape[1]), dy_p.dtype)])
+    from . import config as _config
+    scalar_keep = (all(getattr(ks, "ndim", None) == 0 for ks in keep_slots)
+                   and getattr(keep_tail, "ndim", None) == 0)
+    use_recompute = bool(_config.ell_attention_recompute_transpose
+                         and scalar_keep)
+    b_slices, b_np_total = _group_slices(bwd)
     q_pz = jnp.concatenate([Q_p, jnp.zeros((1, Q_p.shape[1]), Q_p.dtype)])
 
-    b_slices, b_np_total = _group_slices(bwd)
-    dv_parts, dk_parts = [], []
-    for gi, g in enumerate(bwd.groups):
-        off, mg = b_slices[gi]
-        Kg = g.slots_col.shape[1]
+    if use_recompute:
+        # Recompute ã/ds per lane instead of gathering the flat [·, 2H]
+        # weight array — in the transaction-bound regime that narrow gather
+        # costs a full transaction per lane (one of the step's seven gather
+        # sets, benchmarks/README.md). Per-row softmax stats (lse, gsum —
+        # exact f32, bit-cast) RIDE the existing dy gather; K/V are read
+        # row-aligned via bwd-space permutes (~0.34M rows traded for ~1.4M).
+        # Only valid with scalar dropout masks: ã·keep has no per-edge state.
+        keep_s = keep_slots[0] if keep_slots else jnp.ones((), jnp.float32)
+        lse = row_max - jnp.log(inv_denom)  # = m + log(denom + ε) exactly
+        stats = jnp.concatenate([lse, gsum], axis=-1)        # [Np, 2H] f32
+        dy_ext = _pack_stats_rider(dy_p, stats)
+        dy_ext_z = jnp.concatenate(
+            [dy_ext, jnp.zeros((1, dy_ext.shape[1]), dy_ext.dtype)])
+        width = dy_p.shape[1]
+        K_bp = _permute(K, bwd.perm, N)
+        V_bp = _permute(V, bwd.perm, N)
 
-        def body(k, carry, g=g):
-            dV_g, dK_g = carry
-            pcol_k = jax.lax.dynamic_index_in_dim(g.slots_col, k, 1,
-                                                  keepdims=False)
-            pos_k = jax.lax.dynamic_index_in_dim(g.aux, k, 1, keepdims=False)
-            w = jnp.take(w_flat, jnp.clip(pos_k, 0, zero_flat), axis=0)
+        def lane_grads(pcol_k, k_rows, v_rows):
             safe = jnp.clip(pcol_k, 0, np_total)
+            ext = jnp.take(dy_ext_z, safe, axis=0)
+            dyr, st = _unpack_stats_rider(ext, width, 2 * H)
+            lse_r, gsum_r = st[:, :H], st[:, H:]
+            qr = jnp.take(q_pz, safe, axis=0)
+            s_e = _blocksum(qr * k_rows, H, d) * inv_scale
+            a_e = jnp.exp(s_e - lse_r)
+            # padding lanes read the zero stats row: a_e = exp(0) = 1, but
+            # dyr/qr are zero rows so every contribution still vanishes
+            da_e = _blocksum(dyr * v_rows, H, d) * keep_s
+            ds_e = a_e * (da_e - gsum_r) * inv_scale
+            return dyr, qr, a_e * keep_s, ds_e
+
+        dv_parts, dk_parts = [], []
+        for gi, g in enumerate(bwd.groups):
+            off, mg = b_slices[gi]
+            Kg = g.slots_col.shape[1]
+            K_g = jax.lax.dynamic_slice_in_dim(K_bp, off, mg, axis=0)
+            V_g = jax.lax.dynamic_slice_in_dim(V_bp, off, mg, axis=0)
+
+            def body(k, carry, g=g, K_g=K_g, V_g=V_g):
+                dV_g, dK_g = carry
+                pcol_k = jax.lax.dynamic_index_in_dim(g.slots_col, k, 1,
+                                                      keepdims=False)
+                dyr, qr, ad_e, ds_e = lane_grads(pcol_k, K_g, V_g)
+                dV_g = dV_g + dyr * _expand(ad_e, d).astype(dy.dtype)
+                dK_g = dK_g + qr * _expand(ds_e, d).astype(Q.dtype)
+                return dV_g, dK_g
+
+            dV_g, dK_g = _slot_loop(
+                Kg, body,
+                (jnp.zeros((mg, dy.shape[1]), dy.dtype),
+                 jnp.zeros((mg, K.shape[1]), K.dtype)),
+                flag="ell_attention_unroll_transpose")
+            dv_parts.append(dV_g)
+            dk_parts.append(dK_g)
+        dV_p = jnp.concatenate(dv_parts, axis=0)
+        dK_p = jnp.concatenate(dk_parts, axis=0)
+        if bwd.tail_prow.shape[0]:
+            K_bpz = jnp.concatenate(
+                [K_bp, jnp.zeros((1, K_bp.shape[1]), K_bp.dtype)])
+            V_bpz = jnp.concatenate(
+                [V_bp, jnp.zeros((1, V_bp.shape[1]), V_bp.dtype)])
+            safe_t = jnp.clip(bwd.tail_prow, 0, b_np_total)
+            k_t = jnp.take(K_bpz, safe_t, axis=0)
+            v_t = jnp.take(V_bpz, safe_t, axis=0)
+            dyr, qr, ad_e, ds_e = lane_grads(bwd.tail_col, k_t, v_t)
+            msg = jnp.concatenate(
+                [dyr * _expand(ad_e, d).astype(dy.dtype),
+                 qr * _expand(ds_e, d).astype(Q.dtype)], axis=-1)
+            seg = jax.ops.segment_sum(msg, bwd.tail_prow,
+                                      num_segments=b_np_total,
+                                      indices_are_sorted=True)
+            Hd = dy.shape[1]
+            dV_p = dV_p + seg[:, :Hd]
+            dK_p = dK_p + seg[:, Hd:]
+    else:
+        # per-edge dropout masks: one narrow gather fetches both weights
+        # from the flat [·, 2H] array (ã and ds carry the masks)
+        w_flat = _flat_weights(ad_groups, ds_groups, ad_tail, ds_tail, H)
+        zero_flat = layout.slot_total + layout.tail_total
+        dy_pz = jnp.concatenate(
+            [dy_p, jnp.zeros((1, dy_p.shape[1]), dy_p.dtype)])
+
+        dv_parts, dk_parts = [], []
+        for gi, g in enumerate(bwd.groups):
+            off, mg = b_slices[gi]
+            Kg = g.slots_col.shape[1]
+
+            def body(k, carry, g=g):
+                dV_g, dK_g = carry
+                pcol_k = jax.lax.dynamic_index_in_dim(g.slots_col, k, 1,
+                                                      keepdims=False)
+                pos_k = jax.lax.dynamic_index_in_dim(g.aux, k, 1,
+                                                     keepdims=False)
+                w = jnp.take(w_flat, jnp.clip(pos_k, 0, zero_flat), axis=0)
+                safe = jnp.clip(pcol_k, 0, np_total)
+                dyr = jnp.take(dy_pz, safe, axis=0)
+                qr = jnp.take(q_pz, safe, axis=0)
+                dV_g = dV_g + dyr * _expand(w[:, :H], d).astype(dy.dtype)
+                dK_g = dK_g + qr * _expand(w[:, H:], d).astype(Q.dtype)
+                return dV_g, dK_g
+
+            dV_g, dK_g = _slot_loop(
+                Kg, body,
+                (jnp.zeros((mg, dy.shape[1]), dy.dtype),
+                 jnp.zeros((mg, K.shape[1]), K.dtype)),
+                flag="ell_attention_unroll_transpose")
+            dv_parts.append(dV_g)
+            dk_parts.append(dK_g)
+        dV_p = jnp.concatenate(dv_parts, axis=0)
+        dK_p = jnp.concatenate(dk_parts, axis=0)
+        if bwd.tail_prow.shape[0]:
+            w = jnp.take(w_flat, jnp.clip(bwd.tail_aux, 0, zero_flat), axis=0)
+            safe = jnp.clip(bwd.tail_col, 0, np_total)
             dyr = jnp.take(dy_pz, safe, axis=0)
             qr = jnp.take(q_pz, safe, axis=0)
-            dV_g = dV_g + dyr * _expand(w[:, :H], d).astype(dy.dtype)
-            dK_g = dK_g + qr * _expand(w[:, H:], d).astype(Q.dtype)
-            return dV_g, dK_g
-
-        dV_g, dK_g = _slot_loop(
-            Kg, body,
-            (jnp.zeros((mg, dy.shape[1]), dy.dtype),
-             jnp.zeros((mg, K.shape[1]), K.dtype)),
-            flag="ell_attention_unroll_transpose")
-        dv_parts.append(dV_g)
-        dk_parts.append(dK_g)
-    dV_p = jnp.concatenate(dv_parts, axis=0)
-    dK_p = jnp.concatenate(dk_parts, axis=0)
-    if bwd.tail_prow.shape[0]:
-        w = jnp.take(w_flat, jnp.clip(bwd.tail_aux, 0, zero_flat), axis=0)
-        safe = jnp.clip(bwd.tail_col, 0, np_total)
-        dyr = jnp.take(dy_pz, safe, axis=0)
-        qr = jnp.take(q_pz, safe, axis=0)
-        msg = jnp.concatenate(
-            [dyr * _expand(w[:, :H], d).astype(dy.dtype),
-             qr * _expand(w[:, H:], d).astype(Q.dtype)], axis=-1)
-        seg = jax.ops.segment_sum(msg, bwd.tail_prow,
-                                  num_segments=b_np_total,
-                                  indices_are_sorted=True)
-        Hd = dy.shape[1]
-        dV_p = dV_p + seg[:, :Hd]
-        dK_p = dK_p + seg[:, Hd:]
+            msg = jnp.concatenate(
+                [dyr * _expand(w[:, :H], d).astype(dy.dtype),
+                 qr * _expand(w[:, H:], d).astype(Q.dtype)], axis=-1)
+            seg = jax.ops.segment_sum(msg, bwd.tail_prow,
+                                      num_segments=b_np_total,
+                                      indices_are_sorted=True)
+            Hd = dy.shape[1]
+            dV_p = dV_p + seg[:, :Hd]
+            dK_p = dK_p + seg[:, Hd:]
     dV = _unpermute(dV_p, bwd.inv_pos, b_np_total)
     dK = _unpermute(dK_p, bwd.inv_pos, b_np_total)
     if has_diag:
