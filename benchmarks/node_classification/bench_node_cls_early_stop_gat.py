@@ -12,6 +12,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..", "demo"))
 
 import jax
+if os.environ.get("BENCH_PLATFORM", "cpu") == "cpu":
+    # accuracy runs don't need the TPU — keep the fragile tunnel free
+    # (CLAUDE.md: never run two TPU clients at once)
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import flax.linen as nn
 import numpy as np
@@ -60,9 +64,12 @@ def run(seed=0):
 
 
 if __name__ == "__main__":
-    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
-    test_acc = run(seed)
+    # accepts any number of seeds — one process compiles once per shape and
+    # reuses the dataset across seeds (20-seed protocol, run_multi_times.sh)
+    seeds = [int(v) for v in sys.argv[1:]] or [0]
     results_path = os.path.join(os.path.dirname(__file__), "results.txt")
-    with open(results_path, "a", encoding="utf-8") as f:
-        f.write(f"{test_acc}\n")
-    print(f"seed {seed}: test accuracy {test_acc:.4f}")
+    for seed in seeds:
+        test_acc = run(seed)
+        with open(results_path, "a", encoding="utf-8") as f:
+            f.write(f"{test_acc}\n")
+        print(f"seed {seed}: test accuracy {test_acc:.4f}")

@@ -6,7 +6,5 @@ RUNS=${2:-20}
 # fresh results file: appending across runs/models would average stale
 # accuracies into the reported mean±std
 : > "$(dirname "$0")/results.txt"
-for seed in $(seq 0 $((RUNS - 1))); do
-    python "$(dirname "$0")/$SCRIPT" "$seed"
-done
+python "$(dirname "$0")/$SCRIPT" $(seq 0 $((RUNS - 1)))
 python "$(dirname "$0")/bench_report_results.py"
