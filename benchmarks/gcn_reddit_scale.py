@@ -82,11 +82,13 @@ def main():
     optimizer = optax.adam(1e-2)
     opt_state = optimizer.init(params)
 
-    # At this scale the packed arrays CANNOT ride as inlined jit constants:
-    # the literal-embedding HLO is ~600MB and the remote compile service
-    # rejects it (HTTP 413). They go in as jit ARGUMENTS — the 2.1×
-    # constants-layout advantage measured at arxiv scale is unavailable
-    # past the compile-payload limit (documented in docs/performance.md).
+    # At this scale the FULL packed layout cannot ride as inlined jit
+    # constants: the literal-embedding HLO is ~600MB and the remote compile
+    # service rejects it (HTTP 413). Default mode is HYBRID — int32 index
+    # arrays stay constants (where the measured constants advantage lives:
+    # constant-specialization/fusion, benchmarks/README.md) while float
+    # value arrays + activations ride as arguments, shrinking the literal
+    # payload ~3×. REDDIT_MODE=args restores the all-arguments fallback.
     def loss_fn(p, adj_, px_, y_):
         h = jax.nn.relu((px_.astype(jnp.bfloat16)
                          @ p["w0"].astype(jnp.bfloat16)).astype(jnp.float32)
@@ -95,14 +97,37 @@ def main():
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, y_).mean()
 
-    @jax.jit
-    def train_step_impl(p, s, adj_, px_, y_):
-        loss, grads = jax.value_and_grad(loss_fn)(p, adj_, px_, y_)
-        updates, s = optimizer.update(grads, s, p)
-        return optax.apply_updates(p, updates), s, loss
+    if os.environ.get("REDDIT_MODE") == "args":
+        @jax.jit
+        def train_step_impl(p, s, adj_, px_, y_):
+            loss, grads = jax.value_and_grad(loss_fn)(p, adj_, px_, y_)
+            updates, s = optimizer.update(grads, s, p)
+            return optax.apply_updates(p, updates), s, loss
 
-    def train_step(p, s):
-        return train_step_impl(p, s, adj, px, y)
+        def train_step(p, s):
+            return train_step_impl(p, s, adj, px, y)
+    else:  # hybrid (default)
+        import jax.tree_util as jtu
+        adj_leaves, adj_treedef = jtu.tree_flatten(adj)
+        is_val = [jnp.issubdtype(l.dtype, jnp.floating) for l in adj_leaves]
+        val_leaves = [l for l, f in zip(adj_leaves, is_val) if f]
+        const_bytes = sum(l.size * l.dtype.itemsize
+                          for l, f in zip(adj_leaves, is_val) if not f)
+        print(f"hybrid mode: {const_bytes/1e6:.0f}MB index constants, "
+              f"{sum(l.size*l.dtype.itemsize for l in val_leaves)/1e6:.0f}MB "
+              "value arguments", flush=True)
+
+        @jax.jit
+        def train_step_hybrid(p, s, vals, px_, y_):
+            it = iter(vals)
+            merged = [next(it) if f else l for l, f in zip(adj_leaves, is_val)]
+            adj_ = jtu.tree_unflatten(adj_treedef, merged)
+            loss, grads = jax.value_and_grad(loss_fn)(p, adj_, px_, y_)
+            updates, s = optimizer.update(grads, s, p)
+            return optax.apply_updates(p, updates), s, loss
+
+        def train_step(p, s):
+            return train_step_hybrid(p, s, val_leaves, px, y)
 
     t0 = time.time()
     params, opt_state, loss = train_step(params, opt_state)
