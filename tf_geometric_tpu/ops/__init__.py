@@ -5,7 +5,7 @@ The COO ``spmm``/``sddmm`` functions live in the ``spmm`` submodule (their
 names collide with it, so they are not re-bound here).
 """
 from . import (config, ell, ell_attention, ell_attention_bucketed,
-               ell_bucketed, pallas_segment, pallas_spmm, spmm)
+               ell_bucketed, pallas_segment, spmm)
 from .ell import EllAdj, build_ell_arrays, ell_spmm, ell_spmm_multihead
 from .ell_bucketed import BucketedEllAdj, bucketed_spmm
 from .ell_attention import GatEllLayout, build_gat_layout, gat_attention_ell

@@ -10,9 +10,9 @@ SpMM/SDDMM rather than XLA's generic scatter transpose:
     d/d h:     dh = Aᵀ @ dy       (SpMM with swapped index)
     d/d value: dv[e] = <dy[row[e]], h[col[e]]>   (SDDMM)
 
-``tf_geometric_tpu.ops.pallas_spmm`` provides a Pallas row-blocked kernel
-behind the same signature for large graphs; this module picks it when
-profitable (TPU backend + graph large enough to beat XLA fusion).
+A Pallas SpMM behind this signature was evaluated on hardware and rejected
+(see docs/performance.md "Pallas findings"); the production fast path is the
+ELL layout family (ops/ell.py, ops/ell_bucketed.py).
 """
 from __future__ import annotations
 
@@ -65,10 +65,15 @@ _spmm_core_vjp.defvjp(
 
 
 def spmm(index, value, h, num_rows: int):
-    """SpMM dispatch: Pallas kernel on TPU when profitable, XLA otherwise."""
-    from . import pallas_spmm
-    if pallas_spmm.should_use_pallas(index, h, num_rows):
-        return pallas_spmm.spmm_pallas(index, value, h, num_rows)
+    """COO SpMM (XLA gather + segment reduction with a custom transpose VJP).
+
+    A Pallas SpMM was evaluated on hardware and rejected — per-edge DMA is
+    scalar-core-bound, Mosaic has no vectorized VMEM gather, and the one-hot
+    MXU formulation only pays off for edges pre-clustered into dense (row,
+    col) tiles (docs/performance.md "Pallas findings"). The production hot
+    path is the ELL family (ops/ell.py, ops/ell_bucketed.py), not this
+    generic COO op.
+    """
     return _spmm_core_vjp(index, value, h, num_rows)
 
 
