@@ -180,8 +180,11 @@ def main():
     from tf_geometric_tpu.datasets.synthetic_citation import synthetic_citation_graph
 
     model = os.environ.get("TFG_SCALING_MODEL", "gcn")  # gcn | gat | mincut | sage
-    graph = synthetic_citation_graph(num_nodes=20_000, num_features=64,
-                                     num_classes=40, avg_degree=8, seed=0)
+    graph = synthetic_citation_graph(
+        num_nodes=int(os.environ.get("TFG_SCALING_NODES", 20_000)),
+        num_features=int(os.environ.get("TFG_SCALING_FEATURES", 64)),
+        num_classes=40,
+        avg_degree=int(os.environ.get("TFG_SCALING_DEGREE", 8)), seed=0)
     max_devices = len(jax.devices())
     counts = [c for c in (1, 2, 4, 8, 16) if c <= max_devices]
     results = {"model": model}
@@ -197,6 +200,10 @@ def main():
         print(f"{c} devices: {eps/1e6:8.2f} M edges/s  "
               f"eff={eff:.2%}  halo={halo_frac:.2%}", flush=True)
     print(json.dumps(results))
+    out_path = os.environ.get("TFG_SCALING_OUT")
+    if out_path:
+        with open(out_path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(results) + "\n")
 
 
 if __name__ == "__main__":
