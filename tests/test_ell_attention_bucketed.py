@@ -217,13 +217,12 @@ def test_transpose_recompute_matches_flat_weight_path(rng, compute_dtype):
         return jax.grad(loss, argnums=(0, 1, 2))(
             jnp.asarray(Q), jnp.asarray(K), jnp.asarray(V))
 
-    assert kconf.ell_attention_recompute_transpose  # default ON
-    g_rec = grads()
-    kconf.set_ell_attention_recompute_transpose(False)
+    kconf.set_ell_attention_recompute_transpose(True)
     try:
-        g_flat = grads()
+        g_rec = grads()
     finally:
-        kconf.set_ell_attention_recompute_transpose(True)
+        kconf.set_ell_attention_recompute_transpose(False)
+    g_flat = grads()
     # identical math modulo exp/log roundoff in the recomputed softmax
     tol = 2e-2 if compute_dtype == "bfloat16" else 1e-5
     for got, want in zip(g_rec, g_flat):

@@ -46,15 +46,19 @@ def set_ell_attention_unroll_all(flag: bool) -> None:
 
 
 # Recompute attention weights inside the fused-GAT transpose pass instead of
-# gathering them from the flat [·, 2H] weight array. In the transaction-bound
-# regime the narrow weight gather costs a full transaction per lane — one of
-# the seven gather sets of the step (benchmarks/README.md phase table). The
-# recompute rides the per-row softmax stats (lse, gsum — 2H f32, bit-cast to
-# the compute dtype) on the existing dy gather and reads K/V row-aligned via
-# two extra N-row permutes: ~1.4M narrow transactions traded for ~0.34M.
-# Only applies when attention-dropout masks are scalar (inference, or
-# training without edge_drop) — per-edge masks can't be recomputed.
-ell_attention_recompute_transpose = True
+# gathering them from the flat [·, 2H] weight array: per-row softmax stats
+# (lse, gsum — 2H f32, bit-cast to the compute dtype) ride the existing dy
+# gather and K/V are read row-aligned via two extra N-row permutes. Only
+# applies when attention-dropout masks are scalar — per-edge masks can't be
+# recomputed. MEASURED AND REJECTED as the default (v5e, arxiv scale,
+# gat_throughput.py same-day A/B): recompute 81.1 ms bf16 / 115.7 fp32 vs
+# flat-weight 74-75 bf16 / 108 fp32 — the narrow weight gather was NOT a
+# full transaction set in practice; the two extra per-lane blocksums
+# (score + dã recompute), the +12.5% rider bytes on every dy lane, and the
+# two N-row K/V permutes cost ~8-10% more than the gather they replace.
+# Kept (oracle-tested, tests/test_ell_attention_bucketed.py) for layouts
+# where lanes ≫ N, where the trade could invert.
+ell_attention_recompute_transpose = False
 
 
 def set_ell_attention_recompute_transpose(flag: bool) -> None:
