@@ -172,16 +172,12 @@ def main():
         # activations ride as arguments. Payload shrinks ~3× vs full
         # constants, fitting under the remote-compile literal limit at
         # Reddit scale where full constants mode 413s.
-        import jax.tree_util as jtu
-        adj_leaves, adj_treedef = jtu.tree_flatten(adj)
-        is_val = [jnp.issubdtype(l.dtype, jnp.floating) for l in adj_leaves]
-        val_leaves = [l for l, f in zip(adj_leaves, is_val) if f]
+        from tf_geometric_tpu.utils.jax_utils import split_hybrid_constants
+        val_leaves, rebuild_adj = split_hybrid_constants(adj)
 
         @jax.jit
         def train_step_hybrid(p, s, vals, px_, x_, y_):
-            it = iter(vals)
-            merged = [next(it) if f else l for l, f in zip(adj_leaves, is_val)]
-            adj_ = jtu.tree_unflatten(adj_treedef, merged)
+            adj_ = rebuild_adj(vals)
             loss, grads = jax.value_and_grad(loss_fn)(p, adj_, px_, x_, y_)
             updates, s = optimizer.update(grads, s, p)
             return optax.apply_updates(p, updates), s, loss

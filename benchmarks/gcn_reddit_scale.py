@@ -108,20 +108,18 @@ def main():
             return train_step_impl(p, s, adj, px, y)
     else:  # hybrid (default)
         import jax.tree_util as jtu
-        adj_leaves, adj_treedef = jtu.tree_flatten(adj)
-        is_val = [jnp.issubdtype(l.dtype, jnp.floating) for l in adj_leaves]
-        val_leaves = [l for l, f in zip(adj_leaves, is_val) if f]
+        from tf_geometric_tpu.utils.jax_utils import split_hybrid_constants
+        val_leaves, rebuild_adj = split_hybrid_constants(adj)
         const_bytes = sum(l.size * l.dtype.itemsize
-                          for l, f in zip(adj_leaves, is_val) if not f)
+                          for l in jtu.tree_leaves(adj)
+                          if not jnp.issubdtype(l.dtype, jnp.floating))
         print(f"hybrid mode: {const_bytes/1e6:.0f}MB index constants, "
               f"{sum(l.size*l.dtype.itemsize for l in val_leaves)/1e6:.0f}MB "
               "value arguments", flush=True)
 
         @jax.jit
         def train_step_hybrid(p, s, vals, px_, y_):
-            it = iter(vals)
-            merged = [next(it) if f else l for l, f in zip(adj_leaves, is_val)]
-            adj_ = jtu.tree_unflatten(adj_treedef, merged)
+            adj_ = rebuild_adj(vals)
             loss, grads = jax.value_and_grad(loss_fn)(p, adj_, px_, y_)
             updates, s = optimizer.update(grads, s, p)
             return optax.apply_updates(p, updates), s, loss

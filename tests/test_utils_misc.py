@@ -142,3 +142,41 @@ def test_slow_host_path_warnings(monkeypatch):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         sampler.sample(k=2, padding=True)
+
+
+def test_split_hybrid_constants_matches_direct_path():
+    """The hybrid constants/arguments jit mode (bench.py, Reddit bench) must
+    reconstruct the exact pytree: an ELL-packed SpMM through split/rebuild
+    equals the direct call, with index leaves as constants."""
+    import jax
+
+    from tf_geometric_tpu.nn.conv.gcn import (compute_cache_key, gcn_norm_adj,
+                                              maybe_compile_ell)
+    from tf_geometric_tpu.sparse import SparseMatrix
+    from tf_geometric_tpu.utils.jax_utils import split_hybrid_constants
+
+    rng = np.random.default_rng(0)
+    n, e, f = 64, 256, 8
+    edge_index = jnp.asarray(rng.integers(0, n, size=(2, e)).astype(np.int32))
+    cache = {}
+    normed = gcn_norm_adj(SparseMatrix(edge_index, None, (n, n)), cache=cache)
+    adj = maybe_compile_ell(normed, cache,
+                            compute_cache_key("both", True, True, True, False))
+    x = jnp.asarray(rng.normal(size=(n, f)), jnp.float32)
+
+    vals, rebuild = split_hybrid_constants(adj)
+    assert all(jnp.issubdtype(v.dtype, jnp.floating) for v in vals)
+    # rebuild must round-trip every leaf exactly
+    import jax.tree_util as jtu
+    for a, b in zip(jtu.tree_leaves(rebuild(vals)), jtu.tree_leaves(adj)):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    direct = adj.matmul(x)
+
+    @jax.jit
+    def hybrid_matmul(vals_, x_):
+        return rebuild(vals_).matmul(x_)
+
+    np.testing.assert_allclose(np.asarray(hybrid_matmul(vals, x)),
+                               np.asarray(direct), rtol=1e-6, atol=1e-6)

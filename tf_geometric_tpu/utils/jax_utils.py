@@ -8,7 +8,7 @@ import inspect
 
 import jax
 
-__all__ = ["function"]
+__all__ = ["function", "split_hybrid_constants"]
 
 _DEFAULT_STATIC_KWARGS = ("training", "cache")
 
@@ -35,3 +35,35 @@ def function(fn=None, **jit_kwargs):
     if fn is not None and callable(fn):
         return decorate(fn)
     return decorate
+
+
+def split_hybrid_constants(tree):
+    """Split a pytree for the HYBRID constants/arguments jit mode.
+
+    Large packed graph layouts run fastest with every array inlined as a jit
+    constant (XLA constant-specializes/fuses the index arrays), but past
+    ~10M edges the literal HLO exceeds the remote-compile payload limit.
+    The measured middle ground (benchmarks/README.md, Reddit section) keeps
+    the int32 INDEX arrays — where the constants advantage lives — inlined,
+    while float VALUE arrays ride as ordinary jit arguments, shrinking the
+    literal payload ~3x.
+
+    Returns ``(val_leaves, rebuild)`` where ``val_leaves`` is the list of
+    floating-point leaves (pass them as jit arguments) and ``rebuild`` is a
+    function mapping such a list back to the full pytree, capturing every
+    non-float leaf by Python closure (→ jit constant when ``rebuild`` is
+    called inside a traced function).
+    """
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    leaves, treedef = jtu.tree_flatten(tree)
+    is_val = [jnp.issubdtype(leaf.dtype, jnp.floating) for leaf in leaves]
+    val_leaves = [leaf for leaf, f in zip(leaves, is_val) if f]
+
+    def rebuild(vals):
+        it = iter(vals)
+        merged = [next(it) if f else leaf for leaf, f in zip(leaves, is_val)]
+        return jtu.tree_unflatten(treedef, merged)
+
+    return val_leaves, rebuild
