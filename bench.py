@@ -316,6 +316,12 @@ def main():
     # from row-aligned operands, so they add no algorithmic set; see
     # benchmarks/README.md GAT phase analysis.) Calibrate the per-set cost
     # with a pure random gather at the kernel's width and compute dtype.
+    # NOTE the production kernel pays a 7th set — moving the dynamic
+    # attention weights from forward to transpose lane order — and every
+    # measured alternative (recompute-from-stats, concat-merged gathers,
+    # two-SpMM split) was slower (benchmarks/README.md). The 6-set roofline
+    # is therefore deliberately stricter than the kernel's own floor:
+    # vs_baseline ≈ 0.78 corresponds to ~91% of the 7-set transaction floor.
     compute_dtype = kernel_config.ell_compute_dtype or jnp.float32
     probe = jnp.asarray(rng.normal(size=(num_nodes, UNITS)), compute_dtype)
     gather_idx = jnp.asarray(
