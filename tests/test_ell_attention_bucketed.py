@@ -246,3 +246,34 @@ def test_transpose_recompute_skipped_under_edge_dropout(rng):
 
     g = jax.grad(loss)(jnp.asarray(Q))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_save_lanes_matches_regather_path(rng):
+    """With ell_attention_save_lanes the backward reads the forward's saved
+    K/V slot lanes instead of re-gathering; grads must be BIT-IDENTICAL to
+    the default re-gather path (the saved lanes are exactly the rows the
+    re-gather would fetch, padding lanes included). Measured-and-rejected
+    as the default on v5e (ops/config.py) — kept as a tested capability."""
+    from tf_geometric_tpu.ops import config as kconf
+
+    n, H, d = 21, 2, 4
+    ei, Q, K, V = _skewed_graph(rng, n, H, d, hub_deg=30)
+    layout = build_gat_layout_bucketed(ei, n, caps=[2, 8], layout="bucketed")
+    assert layout.fwd.tail_prow.shape[0] > 0
+    dy = rng.normal(size=(n, H * d)).astype(np.float32)
+
+    def grads():
+        def loss(q, k, v):
+            return jnp.sum(gat_attention_bucketed(layout, q, k, v, H) * dy)
+        return jax.grad(loss, argnums=(0, 1, 2))(
+            jnp.asarray(Q), jnp.asarray(K), jnp.asarray(V))
+
+    assert not kconf.ell_attention_save_lanes  # default OFF (measured slower)
+    g_regather = grads()
+    kconf.set_ell_attention_save_lanes(True)
+    try:
+        g_saved = grads()
+    finally:
+        kconf.set_ell_attention_save_lanes(False)
+    for got, want in zip(g_saved, g_regather):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

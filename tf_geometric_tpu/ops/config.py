@@ -83,3 +83,30 @@ def set_ell_layout(layout: str) -> None:
         raise ValueError(f"ell_layout must be auto|bucketed|uniform, got {layout!r}")
     global ell_layout
     ell_layout = layout
+
+
+# Save the forward-gathered K/V slot lanes of the fused bucketed attention
+# as custom-VJP residuals so the backward dã/dQ passes read them back as
+# streaming slices instead of re-gathering V[col]/K[col] (two of the step's
+# seven random-gather sets). On paper a 1.4M-row random gather costs ~9.6 ms
+# at arxiv scale vs ~1.8 ms for the equivalent streaming write+read.
+# MEASURED AND REJECTED as the default (v5e, arxiv scale, bench.py GAT
+# same-day A/Bs): re-gather baseline 73.8 ms / 18.11M edges/s; save-lanes
+# row-major [ng, Kg, Hd] 78.0 ms / 17.13M; save-lanes SLOT-major
+# [Kg, ng, Hd] (contiguous per-slot reads) 77.4 ms / 17.26M — both layouts
+# ~5% SLOWER. The fwd's ~1.5 GB (bf16) of lane writes costs more than the
+# bwd re-gathers it removes: XLA's fused take→FMA backward passes already
+# run near the transaction floor, while the lane materialization adds pure
+# HBM write traffic to the forward and (unlike the fused gathers) cannot
+# overlap the surrounding compute. Kept oracle-tested
+# (tests/test_ell_attention_bucketed.py — bit-identical grads) for
+# hardware/shapes where the trade inverts (e.g. much wider heads, where
+# per-row bytes amortize the transaction and writes become relatively
+# cheaper). Only active together with ell_attention_unroll_all (a
+# fori_loop would stream the full lane carry through HBM every iteration).
+ell_attention_save_lanes = False
+
+
+def set_ell_attention_save_lanes(flag: bool) -> None:
+    global ell_attention_save_lanes
+    ell_attention_save_lanes = flag

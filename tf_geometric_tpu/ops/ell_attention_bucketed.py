@@ -359,6 +359,7 @@ def _fused_core(layout: BucketedGatLayout, Q, K, V, H, d,
     ``s_diag_orig`` is the row-aligned self-loop score [N, H] or None;
     ``keep_slots`` is a tuple of per-group dropout masks (or scalars).
     """
+    from . import config as _config
     fwd = layout.fwd
     N = layout.num_rows
     n_src = K.shape[0]
@@ -366,16 +367,24 @@ def _fused_core(layout: BucketedGatLayout, Q, K, V, H, d,
     inv_scale = 1.0 / np.sqrt(float(d))
     slices, np_total = _group_slices(fwd)
 
+    # Save the gathered K/V slot lanes as residuals: backward's dã/dQ passes
+    # then read them back streaming instead of re-gathering (see
+    # ops/config.ell_attention_save_lanes). Gated on unroll_all — a fori
+    # carry of the full lane array would round-trip HBM every iteration.
+    save_lanes = bool(_config.ell_attention_save_lanes
+                      and _config.ell_attention_unroll_all)
+
     Q_p = _permute(Q, fwd.perm, N)
 
     # --- scores per group -------------------------------------------------
-    s_groups = []
+    s_groups, k_lanes = [], []
     for gi, g in enumerate(fwd.groups):
         off, ng = slices[gi]
         Kg = g.slots_col.shape[1]
         Q_g = jax.lax.dynamic_slice_in_dim(Q_p, off, ng, axis=0)
 
-        def body(k, s, g=g, Q_g=Q_g):
+        def body(k, carry, g=g, Q_g=Q_g):
+            s, kl = carry
             col_k = jax.lax.dynamic_index_in_dim(g.slots_col, k, 1,
                                                  keepdims=False)
             k_rows = jnp.take(K, jnp.clip(col_k, 0, n_src - 1), axis=0)
@@ -383,10 +392,22 @@ def _fused_core(layout: BucketedGatLayout, Q, K, V, H, d,
             eid_k = jax.lax.dynamic_index_in_dim(g.slot_eid, k, 1,
                                                  keepdims=False)
             s_k = jnp.where((eid_k < E)[:, None], s_k, _NEG)
-            return jax.lax.dynamic_update_index_in_dim(s, s_k, k, 1)
+            s = jax.lax.dynamic_update_index_in_dim(s, s_k, k, 1)
+            if kl is not None:
+                # SLOT-MAJOR [Kg, ng, Hd]: slot k's rows form one contiguous
+                # block so the backward read streams (row-major [ng, Kg, Hd]
+                # would make it ng strided 512B reads — the same transaction
+                # count as the gather it replaces; measured slower)
+                kl = jax.lax.dynamic_update_index_in_dim(kl, k_rows, k, 0)
+            return s, kl
 
-        s_groups.append(_slot_loop(
-            Kg, body, jnp.full((ng, Kg, H), _NEG, jnp.float32)))
+        s_g, kl_g = _slot_loop(
+            Kg, body,
+            (jnp.full((ng, Kg, H), _NEG, jnp.float32),
+             jnp.zeros((Kg, ng, K.shape[1]), K.dtype) if save_lanes
+             else None))
+        s_groups.append(s_g)
+        k_lanes.append(kl_g)
 
     # --- tail scores (permuted rows) ---------------------------------------
     T = fwd.tail_prow.shape[0]
@@ -465,33 +486,52 @@ def _fused_core(layout: BucketedGatLayout, Q, K, V, H, d,
     ad_diag_p = a_diag_p * keep_diag if a_diag_p is not None else None
 
     # --- aggregation ---------------------------------------------------------
-    out_parts = []
+    out_parts, v_lanes = [], []
     for gi, g in enumerate(fwd.groups):
         off, ng = slices[gi]
         Kg = g.slots_col.shape[1]
         ad = ad_groups[gi]
 
-        def body(k, out, g=g, ad=ad):
+        def body(k, carry, g=g, ad=ad):
+            out, vl = carry
             col_k = jax.lax.dynamic_index_in_dim(g.slots_col, k, 1,
                                                  keepdims=False)
             v = jnp.take(V, jnp.clip(col_k, 0, n_src - 1), axis=0)
             a_k = jax.lax.dynamic_index_in_dim(ad, k, 1, keepdims=False)
-            return out + v * _expand(a_k, d).astype(V.dtype)
+            out = out + v * _expand(a_k, d).astype(V.dtype)
+            if vl is not None:
+                vl = jax.lax.dynamic_update_index_in_dim(vl, v, k, 0)
+            return out, vl
 
-        out_parts.append(_slot_loop(
-            Kg, body, jnp.zeros((ng, V.shape[1]), V.dtype)))
+        out_g, vl_g = _slot_loop(
+            Kg, body,
+            (jnp.zeros((ng, V.shape[1]), V.dtype),
+             jnp.zeros((Kg, ng, V.shape[1]), V.dtype) if save_lanes
+             else None))
+        out_parts.append(out_g)
+        v_lanes.append(vl_g)
     out_p = jnp.concatenate(out_parts, axis=0)
+    k_tail = v_tail = None
     if T:
         v_t = jnp.take(V, jnp.clip(fwd.tail_col, 0, n_src - 1), axis=0)
         out_p = out_p + jax.ops.segment_sum(
             v_t * _expand(ad_tail, d).astype(V.dtype), fwd.tail_prow,
             num_segments=np_total, indices_are_sorted=True)
+        if save_lanes:
+            # k_t was gathered in the tail-scores pass above; re-derive it
+            # here so both tail lane saves sit next to their gathers
+            k_tail = jnp.take(K, jnp.clip(fwd.tail_col, 0, n_src - 1), axis=0)
+            v_tail = v_t
     out = _unpermute(out_p, fwd.inv_pos, np_total)
     if ad_diag_p is not None:
         ad_diag = _unpermute(ad_diag_p, fwd.inv_pos, np_total)
         out = out + V * _expand(ad_diag, d).astype(V.dtype)
+    if not save_lanes:
+        k_lanes = v_lanes = None
     # row_max/inv_denom feed the transpose-recompute backward (per-row lse)
-    return out, (Q_p, a_groups, a_tail, a_diag_p, row_max, inv_denom)
+    return out, (Q_p, a_groups, a_tail, a_diag_p, row_max, inv_denom,
+                 (tuple(k_lanes), tuple(v_lanes), k_tail, v_tail)
+                 if save_lanes else None)
 
 
 def _flat_weights(ad_groups, ds_groups, ad_tail, ds_tail, H):
@@ -527,11 +567,12 @@ def _call_core(layout, H, d, Q, K, V, keep_slots, keep_tail, keep_diag,
 
 def _fused_fwd(layout, H, d, Q, K, V, keep_slots, keep_tail, keep_diag,
                diag_eid):
-    out, (Q_p, a_groups, a_tail, a_diag_p, row_max, inv_denom) = _call_core(
+    out, (Q_p, a_groups, a_tail, a_diag_p, row_max, inv_denom,
+          saved_lanes) = _call_core(
         layout, H, d, Q, K, V, keep_slots, keep_tail, keep_diag, diag_eid)
     return out, (layout, Q, K, V, Q_p, a_groups, a_tail, a_diag_p,
                  row_max, inv_denom, keep_slots, keep_tail, keep_diag,
-                 diag_eid)
+                 diag_eid, saved_lanes)
 
 
 def _pack_stats_rider(wide_p, stats_f32):
@@ -564,7 +605,11 @@ def _unpack_stats_rider(ext, width, num_stats):
 def _fused_bwd(H, d, residuals, dy):
     (layout, Q, K, V, Q_p, a_groups, a_tail, a_diag_p,
      row_max, inv_denom, keep_slots, keep_tail, keep_diag,
-     diag_eid) = residuals
+     diag_eid, saved_lanes) = residuals
+    if saved_lanes is not None:
+        k_lanes, v_lanes, k_tail_saved, v_tail_saved = saved_lanes
+    else:
+        k_lanes = v_lanes = k_tail_saved = v_tail_saved = None
     fwd = layout.fwd
     bwd = layout.bwd
     N = layout.num_rows
@@ -582,16 +627,22 @@ def _fused_bwd(H, d, residuals, dy):
     ad_diag_p = a_diag_p * keep_diag if has_diag else None
 
     # --- dã per group lane ---------------------------------------------------
+    # With saved_lanes the V rows come back as a STREAMING slice of the
+    # forward's gathered lanes instead of a second random gather set.
     da_groups = []
     for gi, g in enumerate(fwd.groups):
         off, ng = slices[gi]
         Kg = g.slots_col.shape[1]
         dy_g = jax.lax.dynamic_slice_in_dim(dy_p, off, ng, axis=0)
+        vl_g = v_lanes[gi] if v_lanes is not None else None
 
-        def body(k, da, g=g, dy_g=dy_g):
-            col_k = jax.lax.dynamic_index_in_dim(g.slots_col, k, 1,
-                                                 keepdims=False)
-            v = jnp.take(V, jnp.clip(col_k, 0, n_src - 1), axis=0)
+        def body(k, da, g=g, dy_g=dy_g, vl_g=vl_g):
+            if vl_g is not None:
+                v = jax.lax.dynamic_index_in_dim(vl_g, k, 0, keepdims=False)
+            else:
+                col_k = jax.lax.dynamic_index_in_dim(g.slots_col, k, 1,
+                                                     keepdims=False)
+                v = jnp.take(V, jnp.clip(col_k, 0, n_src - 1), axis=0)
             da_k = _blocksum(dy_g * v, H, d)
             return jax.lax.dynamic_update_index_in_dim(da, da_k, k, 1)
 
@@ -601,7 +652,8 @@ def _fused_bwd(H, d, residuals, dy):
         dy_t = jnp.take(jnp.concatenate(
             [dy_p, jnp.zeros((1, dy_p.shape[1]), dy_p.dtype)]),
             jnp.clip(fwd.tail_prow, 0, np_total), axis=0)
-        v_t = jnp.take(V, jnp.clip(fwd.tail_col, 0, n_src - 1), axis=0)
+        v_t = v_tail_saved if v_tail_saved is not None else \
+            jnp.take(V, jnp.clip(fwd.tail_col, 0, n_src - 1), axis=0)
         da_tail = _blocksum(dy_t * v_t, H, d)
     else:
         da_tail = jnp.zeros((0, H), jnp.float32)
@@ -644,11 +696,16 @@ def _fused_bwd(H, d, residuals, dy):
         off, ng = slices[gi]
         Kg = g.slots_col.shape[1]
         ds = ds_groups[gi]
+        kl_g = k_lanes[gi] if k_lanes is not None else None
 
-        def body(k, dq, g=g, ds=ds):
-            col_k = jax.lax.dynamic_index_in_dim(g.slots_col, k, 1,
-                                                 keepdims=False)
-            krows = jnp.take(K, jnp.clip(col_k, 0, n_src - 1), axis=0)
+        def body(k, dq, g=g, ds=ds, kl_g=kl_g):
+            if kl_g is not None:
+                krows = jax.lax.dynamic_index_in_dim(kl_g, k, 0,
+                                                     keepdims=False)
+            else:
+                col_k = jax.lax.dynamic_index_in_dim(g.slots_col, k, 1,
+                                                     keepdims=False)
+                krows = jnp.take(K, jnp.clip(col_k, 0, n_src - 1), axis=0)
             ds_k = jax.lax.dynamic_index_in_dim(ds, k, 1, keepdims=False)
             return dq + krows * _expand(ds_k, d).astype(K.dtype)
 
@@ -656,7 +713,8 @@ def _fused_bwd(H, d, residuals, dy):
             Kg, body, jnp.zeros((ng, K.shape[1]), K.dtype)))
     dQ_p = jnp.concatenate(dq_parts, axis=0)
     if T:
-        k_t = jnp.take(K, jnp.clip(fwd.tail_col, 0, n_src - 1), axis=0)
+        k_t = k_tail_saved if k_tail_saved is not None else \
+            jnp.take(K, jnp.clip(fwd.tail_col, 0, n_src - 1), axis=0)
         dQ_p = dQ_p + jax.ops.segment_sum(
             k_t * _expand(ds_tail, d).astype(K.dtype), fwd.tail_prow,
             num_segments=np_total, indices_are_sorted=True)
