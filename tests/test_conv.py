@@ -142,13 +142,14 @@ def test_chebynet_oracle(rng):
     kernels = [jnp.asarray(rng.normal(size=(f, c)).astype(np.float32)) for _ in range(k)]
     out = tnn.chebynet(jnp.asarray(x), jnp.asarray(ei), jnp.asarray(ew), k, kernels)
 
-    # dense oracle: scaled sym laplacian with self-loops removed first
+    # dense oracle: self-loops removed first, then the reference's
+    # (non-negated) "laplacian": Â + I (reference graph_utils.py:571-582)
     keep = ei[0] != ei[1]
     ei2, ew2 = ei[:, keep], ew[keep]
     a = dense_adj(ei2, ew2, n)
     deg = a.sum(1)
     dinv = np.where(deg > 0, deg ** -0.5, 0.0)
-    lap = np.eye(n) - dinv[:, None] * a * dinv[None, :]
+    lap = np.eye(n) + dinv[:, None] * a * dinv[None, :]
     lap_scaled = 2.0 * lap / 2.0
     t0, t1 = x, lap_scaled @ x
     expected = t0 @ np.asarray(kernels[0]) + t1 @ np.asarray(kernels[1])

@@ -41,10 +41,12 @@ def test_get_laplacian_sym_oracle():
     lap_ei, lap_w = np.asarray(lap_ei), np.asarray(lap_w)
     for r, c, v in zip(lap_ei[0], lap_ei[1], lap_w):
         dense[r, c] += v
-    # oracle: I - D^-1/2 A D^-1/2 for the path graph 0-1-2
+    # oracle: the reference's get_laplacian does NOT negate the adjacency —
+    # "sym" returns D^-1/2 A D^-1/2 + I (reference graph_utils.py:571-582,
+    # pinned by tests/test_reference_parity.py::graph_utils)
     a = np.array([[0, 1, 0], [1, 0, 1], [0, 1, 0]], np.float32)
     d = np.diag(1.0 / np.sqrt(a.sum(1)))
-    expected = np.eye(3) - d @ a @ d
+    expected = np.eye(3) + d @ a @ d
     np.testing.assert_allclose(dense, expected, rtol=1e-5, atol=1e-6)
 
 

@@ -131,10 +131,19 @@ def sum_graph_sage(x, edge_index, edge_weight, self_kernel, neighbor_kernel,
 def gcn_graph_sage(x, edge_index, edge_weight, kernel, bias=None, activation=None,
                    normalize=False, cache=None):
     """GCN-style aggregator (graph_sage.py:118-161): symmetric-normalized
-    neighbor sum, single kernel, no self path."""
+    neighbor sum, single kernel, no self path.
+
+    renorm=False matches the reference's executed behavior: graph_sage.py:141
+    passes ``cache`` positionally into gcn_norm_edge's ``renorm`` slot, and
+    every live call path hands it None or an empty dict — both falsy — so the
+    reference always normalizes first and adds the self-loop after (pinned by
+    tests/test_reference_parity.py::sage_gcn). Note the reference also
+    overwrites user edge weights with ones there (:139-140); that bug is NOT
+    replicated — pass unit weights for bit-parity."""
     num_nodes = x.shape[0]
     normed_index, normed_weight = gcn_norm_edge(edge_index, num_nodes,
-                                                edge_weight, cache=cache)
+                                                edge_weight, renorm=False,
+                                                cache=cache)
     row = normed_index[0]
     neighbor_x = jnp.take(x, jnp.clip(normed_index[1], 0, num_nodes - 1), axis=0)
     neighbor_x = gcn_mapper(None, neighbor_x, edge_weight=normed_weight)

@@ -518,9 +518,9 @@ def _fused_core(layout: BucketedGatLayout, Q, K, V, H, d,
             v_t * _expand(ad_tail, d).astype(V.dtype), fwd.tail_prow,
             num_segments=np_total, indices_are_sorted=True)
         if save_lanes:
-            # k_t was gathered in the tail-scores pass above; re-derive it
-            # here so both tail lane saves sit next to their gathers
-            k_tail = jnp.take(K, jnp.clip(fwd.tail_col, 0, n_src - 1), axis=0)
+            # reuse the tail K gather from the scores pass instead of
+            # re-deriving it (no reliance on XLA CSE)
+            k_tail = k_t
             v_tail = v_t
     out = _unpermute(out_p, fwd.inv_pos, np_total)
     if ad_diag_p is not None:

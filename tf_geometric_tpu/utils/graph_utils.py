@@ -359,10 +359,22 @@ def compute_edge_mask_by_node_index(edge_index, node_index, num_nodes: Optional[
 
 def get_laplacian(edge_index, num_nodes: int, edge_weight=None,
                   normalization_type=None, fill_weight=1.0):
-    """Graph Laplacian as an edge list (graph_utils.py:554-603).
+    """Graph "Laplacian" as an edge list, replicating the reference's ACTUAL
+    behavior (graph_utils.py:554-603) — which, despite its D-A comments, does
+    NOT negate the adjacency term:
 
-    normalization_type: None → L = D - A; "sym" → I - D^-1/2 A D^-1/2;
-    "rw" → I - D^-1 A. Output has E + num_nodes edges (static).
+    - "sym": D^-1/2 A D^-1/2 entries (positive) + fill_weight self-loops,
+      i.e. Â + I (reference :571-582).
+    - "rw": D^-1 A entries + fill_weight self-loops (reference :587-602).
+    - None: self-loops appended first, then every entry e=(r,c,w) becomes
+      deg[r] - w with deg from the ORIGINAL edges (reference :561-569) —
+      diagonal entries become deg[i] - fill_weight.
+
+    ChebyNet consumes this operator (scaled by 2/λ_max, reference
+    chebynet.py:39-62) and LaplacianMaxEigenvalue takes its λ_max, so both
+    stay internally consistent. Verified per-value against the executed
+    reference in tests/test_reference_parity.py ("graph_utils",
+    "chebynet_*" cases). Output has E + num_nodes edges (static).
     """
     edge_index = jnp.asarray(edge_index)
     if edge_weight is None:
@@ -370,25 +382,26 @@ def get_laplacian(edge_index, num_nodes: int, edge_weight=None,
     edge_weight = jnp.asarray(edge_weight, jnp.float32)
     row = edge_index[0]
     deg = jax.ops.segment_sum(edge_weight, row, num_segments=num_nodes)
+    diag_index = jnp.tile(jnp.arange(num_nodes, dtype=edge_index.dtype)[None, :], (2, 1))
+    new_index = jnp.concatenate([edge_index, diag_index], axis=1)
 
     if normalization_type is None:
-        diag_index = jnp.tile(jnp.arange(num_nodes, dtype=edge_index.dtype)[None, :], (2, 1))
-        new_index = jnp.concatenate([edge_index, diag_index], axis=1)
-        new_weight = jnp.concatenate([-edge_weight, deg], axis=0)
+        all_weight = jnp.concatenate(
+            [edge_weight, jnp.full((num_nodes,), fill_weight, jnp.float32)], axis=0)
+        safe_all_row = jnp.clip(new_index[0], 0, num_nodes - 1)
+        new_weight = jnp.take(deg, safe_all_row) - all_weight
         return new_index, new_weight
 
     safe_row = jnp.clip(edge_index[0], 0, num_nodes - 1)
     safe_col = jnp.clip(edge_index[1], 0, num_nodes - 1)
     if normalization_type == "sym":
         dinv = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
-        normed = -dinv[safe_row] * edge_weight * dinv[safe_col]
+        normed = dinv[safe_row] * edge_weight * dinv[safe_col]
     elif normalization_type == "rw":
         dinv = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1e-12), 0.0)
-        normed = -dinv[safe_row] * edge_weight
+        normed = dinv[safe_row] * edge_weight
     else:
         raise ValueError(f"unknown normalization_type: {normalization_type}")
-    diag_index = jnp.tile(jnp.arange(num_nodes, dtype=edge_index.dtype)[None, :], (2, 1))
-    new_index = jnp.concatenate([edge_index, diag_index], axis=1)
     new_weight = jnp.concatenate([normed, jnp.full((num_nodes,), fill_weight, jnp.float32)],
                                  axis=0)
     return new_index, new_weight

@@ -53,17 +53,24 @@ def split_hybrid_constants(tree):
     function mapping such a list back to the full pytree, capturing every
     non-float leaf by Python closure (→ jit constant when ``rebuild`` is
     called inside a traced function).
+
+    Leaves without a ``.dtype`` (Python scalars etc.) are treated as
+    constants. ``rebuild`` captures only the non-float leaves, so the caller's
+    float originals can be freed (at Reddit scale they are ~190MB).
     """
     import jax.numpy as jnp
     import jax.tree_util as jtu
 
     leaves, treedef = jtu.tree_flatten(tree)
-    is_val = [jnp.issubdtype(leaf.dtype, jnp.floating) for leaf in leaves]
+    is_val = [hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
+              for leaf in leaves]
     val_leaves = [leaf for leaf, f in zip(leaves, is_val) if f]
+    const_leaves = [None if f else leaf for leaf, f in zip(leaves, is_val)]
 
     def rebuild(vals):
         it = iter(vals)
-        merged = [next(it) if f else leaf for leaf, f in zip(leaves, is_val)]
+        merged = [next(it) if f else leaf
+                  for leaf, f in zip(const_leaves, is_val)]
         return jtu.tree_unflatten(treedef, merged)
 
     return val_leaves, rebuild
