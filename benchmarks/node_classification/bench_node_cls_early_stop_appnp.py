@@ -55,7 +55,7 @@ def run(seed=0):
 
     return train_node_classifier(forward, params, jnp.asarray(graph.y), splits,
                                  num_steps=MAX_STEPS, patience=PATIENCE,
-                                 learning_rate=1e-2, l2_coef=5e-4)
+                                 learning_rate=5e-3, l2_coef=1e-3)
 
 
 if __name__ == "__main__":

@@ -34,13 +34,12 @@ class GATModel(nn.Module):
     @nn.compact
     def __call__(self, x, edge_index, edge_weight, training=False):
         x = nn.Dropout(0.6, deterministic=not training)(x)
-        h = GAT(units=64, attention_units=64, num_heads=8,
+        h = GAT(units=64, attention_units=8, num_heads=8,
                 activation=jax.nn.relu, edge_drop_rate=0.6)(
             [x, edge_index], training=training)
         h = nn.Dropout(0.6, deterministic=not training)(h)
-        return GAT(units=self.num_classes,
-                   attention_units=self.num_classes)([h, edge_index],
-                                                     training=training)
+        return GAT(units=self.num_classes, attention_units=1,
+                   edge_drop_rate=0.6)([h, edge_index], training=training)
 
 
 def run(seed=0):
@@ -60,7 +59,7 @@ def run(seed=0):
 
     return train_node_classifier(forward, params, jnp.asarray(graph.y), splits,
                                  num_steps=MAX_STEPS, patience=PATIENCE,
-                                 learning_rate=5e-3, l2_coef=5e-4)
+                                 learning_rate=5e-3, l2_coef=1e-3)
 
 
 if __name__ == "__main__":

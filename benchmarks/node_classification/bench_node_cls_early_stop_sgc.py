@@ -25,7 +25,7 @@ from tf_geometric_tpu.layers import SGC
 
 DATASET = os.environ.get("BENCH_DATASET", "cora")
 PATIENCE = 100
-MAX_STEPS = 400
+MAX_STEPS = 200
 
 
 class SGCModel(nn.Module):
@@ -53,7 +53,7 @@ def run(seed=0):
 
     return train_node_classifier(forward, params, jnp.asarray(graph.y), splits,
                                  num_steps=MAX_STEPS, patience=PATIENCE,
-                                 learning_rate=0.2, l2_coef=5e-5)
+                                 learning_rate=0.2, l2_coef=5e-6)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,202 @@
+"""Head-to-head accuracy parity: the EXECUTED reference vs this repo.
+
+Runs the reference library's five early-stop node-classification benchmarks
+(reference benchmarks/node_classification/bench_node_cls_early_stop_*.py,
+hyperparameters lifted verbatim from each script's cora configuration) on the
+SAME synthetic cora-shaped graph the repo's benchmarks use, multiple seeds,
+using the reference's own tfg.layers models executed under TF via the
+tf_sparse shim (tests/tfref). Repo-side numbers come from the committed
+20-seed sweeps (results_<model>.txt, same protocol).
+
+Output: head_to_head.json — per model: reference accuracies, repo
+accuracies, means and delta. tests/test_head_to_head.py gates the committed
+deltas.
+
+Usage:  python head_to_head.py [num_ref_seeds]   (default 10)
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..", "demo"))
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+# reference protocol per model (cora settings in each reference script)
+PROTOCOLS = {
+    "gcn":   dict(lr=1e-2, l2=5e-4, steps=400),   # ref gcn.py:18-24
+    "gat":   dict(lr=5e-3, l2=1e-3, steps=400),   # ref gat.py:46-53
+    "appnp": dict(lr=5e-3, l2=1e-3, steps=400),   # ref appnp.py:19-27,85
+    "sgc":   dict(lr=0.2, l2=5e-6, steps=200),    # ref sgc.py:20-23
+    "ssgc":  dict(lr=5e-3, l2=1e-3, steps=400),   # ref ssgc.py:24-27,104
+}
+
+
+def _load_shared_graph():
+    """The same synthetic cora the repo benches train on, as numpy arrays."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from demo_utils import load_cora
+    graph, splits = load_cora()
+    x = np.asarray(jax.device_get(graph.x), np.float32)
+    ei = np.asarray(jax.device_get(graph.edge_index), np.int32)
+    ew = np.asarray(jax.device_get(graph.edge_weight), np.float32)
+    y = np.asarray(jax.device_get(graph.y), np.int32)
+    splits = tuple(np.asarray(jax.device_get(s), np.int32) for s in splits)
+    return x, ei, ew, y, splits
+
+
+def _build_ref_model(tfg, tf, model_name, num_classes, drop):
+    """The model stacks from the reference bench scripts, verbatim."""
+    if model_name == "gcn":
+        gcn0 = tfg.layers.GCN(16, activation=tf.nn.relu)
+        gcn1 = tfg.layers.GCN(num_classes)
+
+        def call(x, ei, ew, graph, training):
+            h = drop(x, 0.5, training)
+            h = gcn0([h, ei, ew], cache=graph.cache)
+            h = drop(h, 0.5, training)
+            return gcn1([h, ei, ew], cache=graph.cache)
+        layers = [gcn0, gcn1]
+    elif model_name == "gat":
+        gat0 = tfg.layers.GAT(64, activation=tf.nn.relu, num_heads=8,
+                              drop_rate=0.6, attention_units=8)
+        gat1 = tfg.layers.GAT(num_classes, drop_rate=0.6, attention_units=1)
+
+        def call(x, ei, ew, graph, training):
+            h = drop(x, 0.6, training)
+            h = gat0([h, ei], training=training)
+            h = drop(h, 0.6, training)
+            return gat1([h, ei], training=training)
+        layers = [gat0, gat1]
+    elif model_name == "appnp":
+        appnp = tfg.layers.APPNP([64, num_classes], alpha=0.1, k=10,
+                                 dense_drop_rate=0.5, edge_drop_rate=0.5)
+
+        def call(x, ei, ew, graph, training):
+            return appnp([x, ei, ew], training=training, cache=graph.cache)
+        layers = [appnp]
+    elif model_name == "sgc":
+        sgc = tfg.layers.SGC(num_classes, k=2)
+
+        def call(x, ei, ew, graph, training):
+            return sgc([x, ei, ew], cache=graph.cache)
+        layers = [sgc]
+    elif model_name == "ssgc":
+        ssgc = tfg.layers.SSGC([64, num_classes], k=10, alpha=0.1,
+                               dense_drop_rate=0.5, edge_drop_rate=0.5)
+
+        def call(x, ei, ew, graph, training):
+            h = drop(x, 0.5, training)
+            return ssgc([h, ei, ew], training=training, cache=graph.cache)
+        layers = [ssgc]
+    else:
+        raise ValueError(model_name)
+    return call, layers
+
+
+def run_reference(model_name, seed, shared):
+    """One seeded run of the reference model with the reference's early-stop
+    loop (bench_node_cls_early_stop_gcn.py:121-156)."""
+    sys.path.insert(0, os.path.join(HERE, "..", "..", "tests"))
+    import tfref
+    tfg = tfref.load_reference()
+    assert tfg is not None, tfref.load_failure()
+    import tensorflow as tf
+
+    x_np, ei_np, ew_np, y_np, (train_index, valid_index, test_index) = shared
+    proto = PROTOCOLS[model_name]
+    num_classes = int(y_np.max()) + 1
+
+    tf.random.set_seed(seed)
+    np.random.seed(seed)
+
+    graph = tfg.Graph(x=x_np, edge_index=ei_np, edge_weight=ew_np, y=y_np)
+    graph.convert_data_to_tensor()
+    x, ei, ew = graph.x, graph.edge_index, graph.edge_weight
+    y = tf.constant(y_np)
+
+    def drop(h, rate, training):
+        return tf.nn.dropout(h, rate) if training else h
+
+    call, _ = _build_ref_model(tfg, tf, model_name, num_classes, drop)
+    optimizer = tf.keras.optimizers.Adam(learning_rate=proto["lr"])
+
+    def compute_loss(logits, mask_index, variables):
+        masked_logits = tf.gather(logits, mask_index)
+        masked_labels = tf.gather(y, mask_index)
+        losses = tf.nn.softmax_cross_entropy_with_logits(
+            logits=masked_logits,
+            labels=tf.one_hot(masked_labels, depth=num_classes))
+        kernels = [v for v in variables if "kernel" in v.name]
+        l2 = tf.add_n([tf.nn.l2_loss(v) for v in kernels])
+        return tf.reduce_mean(losses) + l2 * proto["l2"]
+
+    def evaluate(index):
+        logits = call(x, ei, ew, graph, False)
+        masked_logits = tf.gather(logits, index)
+        masked_labels = tf.gather(y, index)
+        preds = tf.argmax(masked_logits, axis=-1, output_type=tf.int32)
+        acc = tf.reduce_mean(tf.cast(tf.equal(preds, masked_labels), tf.float32))
+        ce = tf.nn.softmax_cross_entropy_with_logits(
+            logits=masked_logits, labels=tf.one_hot(masked_labels, num_classes))
+        return float(acc), float(tf.reduce_mean(ce))
+
+    best_val_accuracy, min_val_loss = 0.0, 1000.0
+    final_test_accuracy, patience_counter = None, 0
+    for step in range(1, proto["steps"] + 1):
+        with tf.GradientTape() as tape:
+            logits = call(x, ei, ew, graph, True)
+            loss = compute_loss(logits, train_index, tape.watched_variables())
+        variables = tape.watched_variables()
+        optimizer.apply_gradients(zip(tape.gradient(loss, variables), variables))
+
+        val_accuracy, val_loss = evaluate(valid_index)
+        if val_accuracy > best_val_accuracy or val_loss < min_val_loss:
+            patience_counter = 0
+        else:
+            patience_counter += 1
+            if patience_counter > 100:
+                break
+        if val_accuracy > best_val_accuracy and val_loss < min_val_loss:
+            test_accuracy, _ = evaluate(test_index)
+            final_test_accuracy = test_accuracy
+            best_val_accuracy, min_val_loss = val_accuracy, val_loss
+    return final_test_accuracy
+
+
+def main(num_ref_seeds=10):
+    shared = _load_shared_graph()
+    out = {}
+    for model in PROTOCOLS:
+        repo_path = os.path.join(HERE, "results_{}.txt".format(model))
+        with open(repo_path, encoding="utf-8") as f:
+            repo_accs = [float(v) for v in f.read().split()]
+        ref_accs = []
+        for seed in range(num_ref_seeds):
+            acc = run_reference(model, seed, shared)
+            ref_accs.append(acc)
+            print("{} ref seed {}: {:.4f}".format(model, seed, acc), flush=True)
+        out[model] = {
+            "reference": ref_accs,
+            "repo": repo_accs,
+            "reference_mean": float(np.mean(ref_accs)),
+            "reference_std": float(np.std(ref_accs)),
+            "repo_mean": float(np.mean(repo_accs)),
+            "repo_std": float(np.std(repo_accs)),
+            "delta": float(np.mean(repo_accs) - np.mean(ref_accs)),
+        }
+        print("{}: ref {:.4f}±{:.4f}  repo {:.4f}±{:.4f}  delta {:+.4f}".format(
+            model, out[model]["reference_mean"], out[model]["reference_std"],
+            out[model]["repo_mean"], out[model]["repo_std"], out[model]["delta"]),
+            flush=True)
+    with open(os.path.join(HERE, "head_to_head.json"), "w", encoding="utf-8") as f:
+        json.dump(out, f, indent=2)
+    print("wrote head_to_head.json")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)

@@ -165,7 +165,126 @@ def measure(num_devices, graph, use_rcm=True, steps=10, model="gcn"):
     return num_edges / elapsed, spec.halo_fraction
 
 
+def _multiprocess_worker(port, pid, nproc, local_devices):
+    """One 'host' of the multiprocess measurement: jax.distributed over a
+    local CPU cluster, flat graph mesh spanning every process, halo GCN."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + f" --xla_force_host_platform_device_count={local_devices}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from tf_geometric_tpu.datasets.synthetic_citation import synthetic_citation_graph
+    from tf_geometric_tpu.nn.conv.gcn import gcn_norm_adj
+    from tf_geometric_tpu.parallel import multihost
+    from tf_geometric_tpu.parallel.halo import build_halo_spec
+    from tf_geometric_tpu.parallel.partition import (apply_node_permutation,
+                                                     partition_edges_by_row,
+                                                     partition_order)
+    from tf_geometric_tpu.parallel.sharded import make_graph_parallel_gcn_step
+    from tf_geometric_tpu.sparse import SparseMatrix
+
+    multihost.initialize(coordinator_address=f"localhost:{port}",
+                         num_processes=nproc, process_id=pid)
+    mesh = multihost.build_multihost_mesh(two_level=False)
+    num_devices = len(jax.devices())
+
+    graph = synthetic_citation_graph(
+        num_nodes=int(os.environ.get("TFG_SCALING_NODES", 20_000)),
+        num_features=int(os.environ.get("TFG_SCALING_FEATURES", 64)),
+        num_classes=40,
+        avg_degree=int(os.environ.get("TFG_SCALING_DEGREE", 8)), seed=0)
+    perm = partition_order(graph.edge_index, graph.num_nodes, num_devices)
+    graph, _ = apply_node_permutation(graph, perm)
+    num_nodes = graph.num_nodes
+    normed = gcn_norm_adj(SparseMatrix(graph.edge_index, graph.edge_weight,
+                                       (num_nodes, num_nodes)))
+    index, value = jax.device_get(normed.index), jax.device_get(normed.value)
+    part = partition_edges_by_row(index, value, num_nodes, num_devices)
+    spec = build_halo_spec(part)
+    plan = multihost.distribute_halo_plan(mesh, "graph", spec)
+    step, optimizer = make_graph_parallel_gcn_step(
+        mesh, hidden=64, num_classes=40, halo_spec=plan)
+
+    rng = np.random.default_rng(0)
+    x_np = np.asarray(graph.x)
+    n_pad = part.num_nodes_padded
+    x_p = np.zeros((n_pad, x_np.shape[1]), np.float32); x_p[:num_nodes] = x_np
+    y_p = np.zeros(n_pad, np.int32); y_p[:num_nodes] = np.asarray(graph.y)
+    mask = np.zeros(n_pad, np.float32); mask[:num_nodes] = 1.0
+
+    params = [
+        (np.asarray(rng.normal(scale=0.1, size=(x_np.shape[1], 64)), np.float32),
+         np.zeros(64, np.float32)),
+        (np.asarray(rng.normal(scale=0.1, size=(64, 40)), np.float32),
+         np.zeros(40, np.float32)),
+    ]
+    params = jax.tree.map(lambda a: multihost.distribute(mesh, P(), a), params,
+                          is_leaf=lambda a: isinstance(a, np.ndarray))
+    opt_state = jax.jit(optimizer.init)(params)
+    x_d = multihost.distribute(mesh, P("graph", None), x_p)
+    y_d = multihost.distribute(mesh, P("graph"), y_p)
+    m_d = multihost.distribute(mesh, P("graph"), mask)
+
+    steps = 10
+    with mesh:
+        params, opt_state, loss = step(params, opt_state, x_d, y_d, m_d)
+        _ = np.asarray(jax.device_get(loss))
+        t = time.time()
+        for _ in range(steps):
+            params, opt_state, loss = step(params, opt_state, x_d, y_d, m_d)
+        _ = np.asarray(jax.device_get(loss))
+        elapsed = (time.time() - t) / steps
+    num_edges = int((part.local_row < part.nodes_per_part).sum())
+    if pid == 0:
+        print("MP_RESULT " + json.dumps({
+            "mode": "multiprocess", "num_processes": nproc,
+            "devices": num_devices,
+            "edges_per_sec": round(num_edges / elapsed, 1),
+            "halo_fraction": round(spec.halo_fraction, 4)}), flush=True)
+
+
+def _multiprocess_launch(nproc=2, local_devices=4):
+    """--multiprocess entry: spawn a real N-process jax.distributed CPU
+    cluster (one process per simulated host) and report GCN edges/s."""
+    import socket
+    import subprocess
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = (os.path.join(os.path.dirname(__file__), "..")
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--mp-worker", str(port),
+         str(pid), str(nproc), str(local_devices)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(nproc)]
+    for p in procs:
+        out, _ = p.communicate(timeout=1200)
+        for line in out.splitlines():
+            if line.startswith("MP_RESULT"):
+                print(line[len("MP_RESULT "):])
+        if p.returncode != 0:
+            sys.stderr.write(out[-3000:])
+            raise SystemExit(p.returncode)
+
+
 def main():
+    if "--mp-worker" in sys.argv:
+        i = sys.argv.index("--mp-worker")
+        _multiprocess_worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
+                             int(sys.argv[i + 3]), int(sys.argv[i + 4]))
+        return
+    if "--multiprocess" in sys.argv:
+        i = sys.argv.index("--multiprocess")
+        nproc = (int(sys.argv[i + 1]) if len(sys.argv) > i + 1
+                 and sys.argv[i + 1].isdigit() else 2)
+        _multiprocess_launch(nproc)
+        return
     if os.environ.get("TFG_SCALING_REAL") != "1":
         # default to the 8-device virtual CPU mesh: the JAX_PLATFORMS env
         # var alone is ignored when the harness pins another platform, and

@@ -164,7 +164,11 @@ def make_graph_parallel_gcn_step(mesh: Mesh, graph_axis: str = "graph",
             out_specs=(P(), P(), P()),
         )
         jitted = jax.jit(inner)
-        plan_args = _plan_arrays(halo_spec)
+        # a plain tuple/list (not a HaloSpec) means the caller already
+        # distributed the plan arrays (multi-host per-process shard loading,
+        # parallel/multihost.distribute_halo_plan)
+        plan_args = (_plan_arrays(halo_spec) if hasattr(halo_spec, "send_idx")
+                     else tuple(halo_spec))
 
         def step(params, opt_state, x, y, mask):
             return jitted(params, opt_state, x, y, mask, *plan_args)
