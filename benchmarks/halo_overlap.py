@@ -127,6 +127,11 @@ def main():
         "overlap_fraction": round(float(overlap), 4),
     }
     trace_dir = os.environ.get("TFG_TRACE_DIR")
+    if trace_dir is None and os.environ.get("TFG_SCALING_REAL") == "1":
+        # on real hardware the trace IS the result — capture it unasked so
+        # overlap_trace_analysis.py can settle the ICI-overlap claim from
+        # the profiler timeline rather than wall-clock inference
+        trace_dir = "/tmp/halo_trace"
     if trace_dir:
         with jax.profiler.trace(trace_dir):
             with mesh:

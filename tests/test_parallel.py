@@ -417,3 +417,58 @@ def test_sharded_diffpool_variant_runs_and_ignores_losses():
             jnp.asarray(y_p), jnp.asarray(mask), jnp.asarray(mask))
     assert float(cut) == 0.0 and float(orth) == 0.0
     assert np.isfinite(float(loss)) and float(loss) == pytest.approx(float(ce))
+
+
+def test_batch_2d_step_matches_single_device():
+    """TRUE 2-D parallelism (VERDICT r2 #8): the data axis splits a batch of
+    graphs, the graph axis edge-partitions each sub-batch; loss must equal
+    the single-device computation of the same batch."""
+    from tf_geometric_tpu.parallel.sharded import (build_mesh,
+                                                   make_batch_2d_step,
+                                                   pack_batch_2d)
+    rng = np.random.default_rng(7)
+    D, Pg, G = 2, 4, 4
+    num_classes, hidden, f = 5, 8, 6
+    graphs = []
+    for g in range(D * G):
+        n = int(rng.integers(5, 12))
+        e = int(rng.integers(8, 25))
+        xg = rng.normal(size=(n, f)).astype(np.float32)
+        eig = rng.integers(0, n, size=(2, e)).astype(np.int32)
+        graphs.append((xg, eig, int(rng.integers(0, num_classes))))
+
+    nodes_per_cell, edges_per_cell = 16, 64
+    x, rows, cols, vals, ngi, y, gmask = pack_batch_2d(
+        graphs, D, Pg, G, nodes_per_cell, edges_per_cell)
+
+    mesh = build_mesh({"data": D, "graph": Pg})
+    step, optimizer = make_batch_2d_step(mesh, hidden=hidden,
+                                         num_classes=num_classes,
+                                         graphs_per_data_shard=G)
+    prng = np.random.default_rng(0)
+    params = (jnp.asarray(prng.normal(scale=0.1, size=(f, hidden)), jnp.float32),
+              jnp.zeros(hidden),
+              jnp.asarray(prng.normal(scale=0.1, size=(hidden, num_classes)),
+                          jnp.float32),
+              jnp.zeros(num_classes))
+    with mesh:
+        _, _, loss = step(params, optimizer.init(params), jnp.asarray(x),
+                          jnp.asarray(rows), jnp.asarray(cols),
+                          jnp.asarray(vals), jnp.asarray(ngi),
+                          jnp.asarray(y), jnp.asarray(gmask))
+
+    # single-device oracle over the original (unpacked) graphs
+    w0, b0, wd, bd = (np.asarray(a) for a in params)
+    ces = []
+    for (xg, eig, yg) in graphs:
+        n = xg.shape[0]
+        deg = np.zeros(n) + 1e-6
+        agg = np.zeros((n, hidden), np.float32)
+        hw = xg @ w0
+        np.add.at(deg, eig[0], 1.0)
+        np.add.at(agg, eig[0], hw[eig[1]])
+        h = np.maximum(agg / deg[:, None] + b0, 0.0)
+        logits = h.mean(axis=0) @ wd + bd
+        logits = logits - logits.max()
+        ces.append(-np.log(np.exp(logits[yg]) / np.exp(logits).sum()))
+    np.testing.assert_allclose(float(loss), np.mean(ces), rtol=1e-4, atol=1e-5)

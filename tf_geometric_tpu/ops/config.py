@@ -66,6 +66,19 @@ def set_ell_attention_recompute_transpose(flag: bool) -> None:
     ell_attention_recompute_transpose = flag
 
 
+# Transpose-scatter weights: place ã‖ds into transpose lane order with ONE
+# unique-index scatter (layout.w_scatter_pos, host-precomputed permutation)
+# so the transpose pass reads them as contiguous slices instead of gathering
+# the flat [·, 2H] array per lane — trades the 7th gather set's random READS
+# for the same count of random WRITES plus a sequential re-read.
+ell_attention_transpose_scatter = False
+
+
+def set_ell_attention_transpose_scatter(flag: bool) -> None:
+    global ell_attention_transpose_scatter
+    ell_attention_transpose_scatter = flag
+
+
 # Layout for cache-compiled adjacencies (maybe_compile_ell):
 #   "auto"     — BucketedEllAdj with per-direction cost choice (default):
 #                degree-bucketed slot groups where the sorted-segment tail

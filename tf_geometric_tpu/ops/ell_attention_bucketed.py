@@ -90,11 +90,12 @@ class BucketedGatLayout:
     """
 
     __slots__ = ("fwd", "bwd", "num_rows", "num_cols", "num_edges",
-                 "slot_total", "tail_total")
+                 "slot_total", "tail_total", "w_scatter_pos",
+                 "bwd_flat_total")
 
     def __init__(self, fwd: GatSide, bwd: GatSide, num_rows: int,
                  num_cols: int, num_edges: int, slot_total: int,
-                 tail_total: int):
+                 tail_total: int, w_scatter_pos=None, bwd_flat_total: int = 0):
         self.fwd = fwd
         self.bwd = bwd
         self.num_rows = num_rows
@@ -102,15 +103,19 @@ class BucketedGatLayout:
         self.num_edges = num_edges
         self.slot_total = slot_total
         self.tail_total = tail_total
+        # fwd flat weight lane -> bwd flat lane (transpose-scatter variant)
+        self.w_scatter_pos = w_scatter_pos
+        self.bwd_flat_total = bwd_flat_total
 
     def tree_flatten(self):
-        return ((self.fwd, self.bwd),
+        return ((self.fwd, self.bwd, self.w_scatter_pos),
                 (self.num_rows, self.num_cols, self.num_edges,
-                 self.slot_total, self.tail_total))
+                 self.slot_total, self.tail_total, self.bwd_flat_total))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], *aux)
+        return cls(children[0], children[1], *aux[:5],
+                   w_scatter_pos=children[2], bwd_flat_total=aux[5])
 
     def __repr__(self):
         def side_repr(s):
@@ -259,7 +264,7 @@ def build_gat_layout_bucketed(sorted_edge_index, num_nodes: int,
     dest_ppos[dest_ppos < 0] = f_np  # rows absent from fwd groups → pad row
 
     def compose(groups, tail):
-        out_groups = []
+        out_groups, np_auxes = [], []
         for sc, se in groups:
             aux = f_eid_pos[np.minimum(se, num_edges)]
             aux[se >= num_edges] = zero_flat
@@ -269,14 +274,37 @@ def build_gat_layout_bucketed(sorted_edge_index, num_nodes: int,
                 slots_col=jnp.asarray(pcol.astype(np.int32)),
                 slot_eid=jnp.asarray(se.astype(np.int32)),
                 aux=jnp.asarray(aux.astype(np.int32))))
+            np_auxes.append((aux, se))
         t_prow, tc, te = tail
         t_aux = f_eid_pos[np.minimum(te, num_edges)]
         t_aux[te >= num_edges] = zero_flat
         t_pcol = dest_ppos[np.clip(tc, 0, num_nodes - 1)]
         t_pcol[te >= num_edges] = f_np
-        return out_groups, t_pcol, t_aux
+        return out_groups, t_pcol, t_aux, np_auxes
 
-    b_groups_c, b_tail_pcol, b_tail_aux = compose(b_groups, b_tail)
+    b_groups_c, b_tail_pcol, b_tail_aux, b_np_auxes = compose(b_groups, b_tail)
+
+    # transpose-scatter map: fwd flat weight lane -> bwd flat lane, so the
+    # backward can PLACE ã‖ds into transpose order with one unique-index
+    # scatter instead of gathering per bwd lane (the "7th gather set",
+    # benchmarks/README.md GAT phase table). Padding fwd lanes -> sink
+    # (dropped by mode="drop").
+    b_off = 0
+    w_scatter_pos = np.full(zero_flat + 1, 0, np.int64)
+    seen = np.zeros(zero_flat + 1, bool)
+    for aux, se in b_np_auxes:
+        mg, kg = se.shape
+        lanes = b_off + np.arange(mg * kg, dtype=np.int64).reshape(mg, kg)
+        real = se < num_edges
+        w_scatter_pos[aux[real]] = lanes[real]
+        seen[aux[real]] = True
+        b_off += mg * kg
+    tail_real = b_tail[2] < num_edges
+    w_scatter_pos[b_tail_aux[tail_real]] = b_off + np.nonzero(tail_real)[0]
+    seen[b_tail_aux[tail_real]] = True
+    b_flat_total = b_off + len(b_tail[2])
+    w_scatter_pos[~seen] = b_flat_total  # unreferenced fwd lanes -> dropped
+    w_scatter_pos = w_scatter_pos[:zero_flat]  # the zero row never scatters
 
     def side_arrays(groups, perm_chunks, inv, np_total, tail, is_classic,
                     aux_groups=None, tail_col_override=None, tail_aux=None):
@@ -308,7 +336,10 @@ def build_gat_layout_bucketed(sorted_edge_index, num_nodes: int,
                       tail_aux=b_tail_aux)
     return BucketedGatLayout(fwd=fwd, bwd=bwd, num_rows=num_nodes,
                              num_cols=num_nodes, num_edges=num_edges,
-                             slot_total=slot_total, tail_total=tail_total)
+                             slot_total=slot_total, tail_total=tail_total,
+                             w_scatter_pos=jnp.asarray(
+                                 w_scatter_pos.astype(np.int32)),
+                             bwd_flat_total=int(b_flat_total))
 
 
 # ---------------------------------------------------------------------------
@@ -811,25 +842,43 @@ def _fused_bwd(H, d, residuals, dy):
             dV_p = dV_p + seg[:, :Hd]
             dK_p = dK_p + seg[:, Hd:]
     else:
-        # per-edge dropout masks: one narrow gather fetches both weights
-        # from the flat [·, 2H] array (ã and ds carry the masks)
+        # per-edge dropout masks: the weights move from forward to transpose
+        # lane order either by one narrow gather per lane from the flat
+        # [·, 2H] array (default), or — transpose-scatter variant — by ONE
+        # unique-index scatter into bwd flat order so the loop reads them
+        # as contiguous slices (see ops/config.ell_attention_transpose_scatter)
         w_flat = _flat_weights(ad_groups, ds_groups, ad_tail, ds_tail, H)
         zero_flat = layout.slot_total + layout.tail_total
+        use_scatter = bool(_config.ell_attention_transpose_scatter
+                           and layout.w_scatter_pos is not None)
+        if use_scatter:
+            w_t = jnp.zeros((layout.bwd_flat_total, 2 * H), jnp.float32)
+            w_t = w_t.at[layout.w_scatter_pos].set(w_flat[:-1], mode="drop")
         dy_pz = jnp.concatenate(
             [dy_p, jnp.zeros((1, dy_p.shape[1]), dy_p.dtype)])
 
         dv_parts, dk_parts = [], []
+        b_flat_off = 0
         for gi, g in enumerate(bwd.groups):
             off, mg = b_slices[gi]
             Kg = g.slots_col.shape[1]
+            if use_scatter:
+                w_g = jax.lax.dynamic_slice_in_dim(
+                    w_t, b_flat_off, mg * Kg).reshape(mg, Kg, 2 * H)
+            else:
+                w_g = None
+            b_flat_off += mg * Kg
 
-            def body(k, carry, g=g):
+            def body(k, carry, g=g, w_g=w_g):
                 dV_g, dK_g = carry
                 pcol_k = jax.lax.dynamic_index_in_dim(g.slots_col, k, 1,
                                                       keepdims=False)
-                pos_k = jax.lax.dynamic_index_in_dim(g.aux, k, 1,
-                                                     keepdims=False)
-                w = jnp.take(w_flat, jnp.clip(pos_k, 0, zero_flat), axis=0)
+                if w_g is not None:
+                    w = jax.lax.dynamic_index_in_dim(w_g, k, 1, keepdims=False)
+                else:
+                    pos_k = jax.lax.dynamic_index_in_dim(g.aux, k, 1,
+                                                         keepdims=False)
+                    w = jnp.take(w_flat, jnp.clip(pos_k, 0, zero_flat), axis=0)
                 safe = jnp.clip(pcol_k, 0, np_total)
                 dyr = jnp.take(dy_pz, safe, axis=0)
                 qr = jnp.take(q_pz, safe, axis=0)
@@ -847,7 +896,12 @@ def _fused_bwd(H, d, residuals, dy):
         dV_p = jnp.concatenate(dv_parts, axis=0)
         dK_p = jnp.concatenate(dk_parts, axis=0)
         if bwd.tail_prow.shape[0]:
-            w = jnp.take(w_flat, jnp.clip(bwd.tail_aux, 0, zero_flat), axis=0)
+            if use_scatter:
+                w = jax.lax.dynamic_slice_in_dim(
+                    w_t, b_flat_off, bwd.tail_prow.shape[0])
+            else:
+                w = jnp.take(w_flat, jnp.clip(bwd.tail_aux, 0, zero_flat),
+                             axis=0)
             safe = jnp.clip(bwd.tail_col, 0, np_total)
             dyr = jnp.take(dy_pz, safe, axis=0)
             qr = jnp.take(q_pz, safe, axis=0)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["sharded_spmm_local", "make_graph_parallel_gcn_step",
+__all__ = ["sharded_spmm_local", "make_graph_parallel_gcn_step", "make_batch_2d_step",
            "make_graph_parallel_gat_step", "make_graph_parallel_mincut_step",
            "build_mesh"]
 
@@ -449,3 +449,147 @@ def make_graph_parallel_gat_step(mesh: Mesh, halo_spec, num_heads: int = 8,
         return jitted(params, opt_state, x, y, mask, *plan_args)
 
     return step, optimizer
+
+
+def make_batch_2d_step(mesh: Mesh, data_axis: str = "data",
+                       graph_axis: str = "graph", hidden: int = 16,
+                       num_classes: int = 7, graphs_per_data_shard: int = 8,
+                       learning_rate: float = 1e-2):
+    """TRUE 2-D parallel batched graph classification: the ``data`` axis
+    splits the batch of graphs (each data shard owns a disjoint sub-batch,
+    reference demo/demo_distributed_mean_pool.py:90-112), while the
+    ``graph`` axis edge-partitions each sub-batch's disjoint union. Both
+    axes carry real parallelism; the loss/grad reductions psum over BOTH.
+
+    Global array layout (D = data size, P = graph size, npp nodes per cell):
+
+    * ``x``   [D·P·npp, F]  sharded ``P((data, graph), None)`` — data-major
+      node blocks, each split into P row blocks;
+    * ``rows/cols/vals`` [D·P·Es] sharded ``P((data, graph))`` — the edge
+      shard of cell (d, p); ``rows`` local to the cell's row block
+      (sentinel ≥ npp for padding), ``cols`` local to the data shard's node
+      space [0, P·npp);
+    * ``ngi`` [D·P·npp] like ``x`` — graph ids LOCAL to the data shard
+      (sentinel ≥ graphs_per_data_shard for padding);
+    * ``y``/``gmask`` [D·graphs_per_data_shard] sharded ``P(data)``.
+
+    Forward per cell: one mean-aggregation GCN layer (all_gather of the
+    projected features over ``graph`` only — batch shards never talk), a
+    per-graph mean readout whose segment-sums psum over ``graph`` (a
+    graph's nodes span row blocks), and a dense head on the data shard's
+    own graphs.
+    """
+    import optax
+
+    optimizer = optax.adam(learning_rate)
+    G = graphs_per_data_shard
+
+    def local_step(params, opt_state, x_local, rows, cols, vals, ngi_local,
+                   y_local, gmask_local):
+        npp = x_local.shape[0]
+
+        def loss_fn(p):
+            w0, b0, wd, bd = p
+            hw = x_local @ w0
+            h_shard = jax.lax.all_gather(hw, graph_axis, tiled=True)
+            deg = jax.ops.segment_sum(vals, rows, num_segments=npp) + 1e-6
+            agg = sharded_spmm_local(h_shard, rows, cols, vals, npp)
+            h = jax.nn.relu(agg / deg[:, None] + b0)
+            # readout: this cell's node rows contribute partial per-graph
+            # sums; complete them over the graph axis (nodes of one graph
+            # live in several row blocks)
+            safe_ngi = jnp.clip(ngi_local, 0, G)
+            ones = jnp.where(ngi_local < G, 1.0, 0.0)
+            cnt = jax.lax.psum(
+                jax.ops.segment_sum(ones, safe_ngi, num_segments=G + 1)[:G],
+                graph_axis)
+            pooled = jax.lax.psum(
+                jax.ops.segment_sum(h * ones[:, None], safe_ngi,
+                                    num_segments=G + 1)[:G], graph_axis)
+            pooled = pooled / jnp.maximum(cnt, 1.0)[:, None]
+            logits = pooled @ wd + bd
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, jnp.clip(y_local, 0, None))
+            total = jax.lax.psum(jax.lax.psum(jnp.sum(ce * gmask_local),
+                                              data_axis), graph_axis)
+            count = jax.lax.psum(jax.lax.psum(jnp.sum(gmask_local),
+                                              data_axis), graph_axis)
+            # the graph-axis psum double-counts nothing: ce/gmask are
+            # graph-axis-invariant (pooled was completed by psum), and the
+            # normalization divides it back out
+            return total / jnp.maximum(count, 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(jax.lax.psum(g, graph_axis), data_axis),
+            grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    both = (data_axis, graph_axis)
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(both, None), P(both), P(both), P(both),
+                  P(both), P(data_axis), P(data_axis)),
+        out_specs=(P(), P(), P()),
+    )
+    return jax.jit(step), optimizer
+
+
+def pack_batch_2d(graphs, num_data_shards: int, num_graph_parts: int,
+                  graphs_per_data_shard: int, nodes_per_cell: int,
+                  edges_per_cell: int):
+    """Host-side packing for :func:`make_batch_2d_step`.
+
+    ``graphs``: list of (x [n,F], edge_index [2,e], y int) numpy triples.
+    Graph g goes to data shard g // graphs_per_data_shard; within a data
+    shard, nodes are laid out consecutively and split into
+    ``num_graph_parts`` row blocks of ``nodes_per_cell`` rows; each edge is
+    owned by its destination's row block. Returns the global arrays in the
+    P((data, graph), ...) layouts the step expects.
+    """
+    import numpy as np
+
+    D, Pg, G = num_data_shards, num_graph_parts, graphs_per_data_shard
+    F = graphs[0][0].shape[1]
+    shard_nodes = Pg * nodes_per_cell
+    x = np.zeros((D * shard_nodes, F), np.float32)
+    ngi = np.full(D * shard_nodes, G, np.int32)
+    rows = np.full((D, Pg, edges_per_cell), nodes_per_cell, np.int32)
+    cols = np.zeros((D, Pg, edges_per_cell), np.int32)
+    vals = np.zeros((D, Pg, edges_per_cell), np.float32)
+    y = np.zeros(D * G, np.int32)
+    gmask = np.zeros(D * G, np.float32)
+
+    fill = np.zeros(D, np.int64)              # next free node row per shard
+    edge_fill = np.zeros((D, Pg), np.int64)   # next free edge slot per cell
+    for g, (xg, eig, yg) in enumerate(graphs):
+        d = g // G
+        if d >= D:
+            raise ValueError("more graphs than D*G slots")
+        base = fill[d]
+        n = xg.shape[0]
+        if base + n > shard_nodes:
+            raise ValueError("nodes_per_cell too small for this batch")
+        x[d * shard_nodes + base: d * shard_nodes + base + n] = xg
+        ngi[d * shard_nodes + base: d * shard_nodes + base + n] = g - d * G
+        y[d * G + (g - d * G)] = yg
+        gmask[d * G + (g - d * G)] = 1.0
+        er = np.asarray(eig[0]) + base        # shard-local ids
+        ec = np.asarray(eig[1]) + base
+        owner = er // nodes_per_cell
+        for p in range(Pg):
+            sel = owner == p
+            k = int(sel.sum())
+            if k == 0:
+                continue
+            s = edge_fill[d, p]
+            if s + k > edges_per_cell:
+                raise ValueError("edges_per_cell too small")
+            rows[d, p, s:s + k] = er[sel] - p * nodes_per_cell
+            cols[d, p, s:s + k] = ec[sel]
+            vals[d, p, s:s + k] = 1.0
+            edge_fill[d, p] += k
+        fill[d] += n
+    return (x, rows.reshape(-1), cols.reshape(-1), vals.reshape(-1), ngi, y,
+            gmask)
