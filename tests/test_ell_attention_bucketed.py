@@ -277,3 +277,41 @@ def test_save_lanes_matches_regather_path(rng):
         kconf.set_ell_attention_save_lanes(False)
     for got, want in zip(g_saved, g_regather):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_transpose_scatter_matches_gather_path(rng):
+    """With ell_attention_transpose_scatter the ã‖ds weights reach the
+    transpose pass via one unique-index scatter (layout.w_scatter_pos)
+    instead of a per-lane narrow gather; grads must be BIT-IDENTICAL (the
+    scatter is a pure permutation of the same values). Measured-and-rejected
+    as the default on v5e — 7.19M vs 18.11M e/s, random scatters cost ~2.5x
+    the gather (benchmarks/README.md) — kept as a tested capability."""
+    from tf_geometric_tpu.ops import config as kconf
+
+    n, H, d = 21, 2, 4
+    ei, Q, K, V = _skewed_graph(rng, n, H, d, hub_deg=30)
+    layout = build_gat_layout_bucketed(ei, n, caps=[2, 8], layout="bucketed")
+    assert layout.fwd.tail_prow.shape[0] > 0
+    assert layout.w_scatter_pos is not None
+    dy = rng.normal(size=(n, H * d)).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+
+    def grads(drop):
+        def loss(q, k, v):
+            out = gat_attention_bucketed(layout, q, k, v, H,
+                                         edge_drop_rate=drop, training=drop > 0,
+                                         dropout_key=key if drop > 0 else None)
+            return jnp.sum(out * dy)
+        return jax.grad(loss, argnums=(0, 1, 2))(
+            jnp.asarray(Q), jnp.asarray(K), jnp.asarray(V))
+
+    assert not kconf.ell_attention_transpose_scatter  # default OFF (slower)
+    for drop in (0.0, 0.3):  # scalar-keep and per-edge-mask regimes
+        g_gather = grads(drop)
+        kconf.set_ell_attention_transpose_scatter(True)
+        try:
+            g_scatter = grads(drop)
+        finally:
+            kconf.set_ell_attention_transpose_scatter(False)
+        for got, want in zip(g_scatter, g_gather):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
