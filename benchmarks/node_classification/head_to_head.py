@@ -62,9 +62,14 @@ def _build_ref_model(tfg, tf, model_name, num_classes, drop):
             return gcn1([h, ei, ew], cache=graph.cache)
         layers = [gcn0, gcn1]
     elif model_name == "gat":
+        # the reference bench script passes drop_rate= (gat.py:76-80) which
+        # its own current layer rejects (layers/conv/gat.py:17 renamed it
+        # edge_drop_rate — a third stale-API in the reference); use the
+        # intended kwarg
         gat0 = tfg.layers.GAT(64, activation=tf.nn.relu, num_heads=8,
-                              drop_rate=0.6, attention_units=8)
-        gat1 = tfg.layers.GAT(num_classes, drop_rate=0.6, attention_units=1)
+                              edge_drop_rate=0.6, attention_units=8)
+        gat1 = tfg.layers.GAT(num_classes, edge_drop_rate=0.6,
+                              attention_units=1)
 
         def call(x, ei, ew, graph, training):
             h = drop(x, 0.6, training)
@@ -168,10 +173,14 @@ def run_reference(model_name, seed, shared):
     return final_test_accuracy
 
 
-def main(num_ref_seeds=10):
+def main(num_ref_seeds=10, models=None):
     shared = _load_shared_graph()
+    out_path = os.path.join(HERE, "head_to_head.json")
     out = {}
-    for model in PROTOCOLS:
+    if os.path.exists(out_path):
+        with open(out_path, encoding="utf-8") as f:
+            out = json.load(f)  # resume: keep completed models
+    for model in (models or PROTOCOLS):
         repo_path = os.path.join(HERE, "results_{}.txt".format(model))
         with open(repo_path, encoding="utf-8") as f:
             repo_accs = [float(v) for v in f.read().split()]
@@ -193,10 +202,11 @@ def main(num_ref_seeds=10):
             model, out[model]["reference_mean"], out[model]["reference_std"],
             out[model]["repo_mean"], out[model]["repo_std"], out[model]["delta"]),
             flush=True)
-    with open(os.path.join(HERE, "head_to_head.json"), "w", encoding="utf-8") as f:
-        json.dump(out, f, indent=2)
+        with open(out_path, "w", encoding="utf-8") as f:
+            json.dump(out, f, indent=2)  # checkpoint after every model
     print("wrote head_to_head.json")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    main(n, models=sys.argv[2:] or None)

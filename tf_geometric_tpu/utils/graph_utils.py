@@ -484,8 +484,17 @@ class LaplacianMaxEigenvalue:
 
     def __call__(self, normalization_type="sym"):
         from scipy.sparse.linalg import eigsh
+        # remove self-loops first — the reference's INTENT at
+        # graph_utils.py:897 (its code filters the weights but passes the
+        # unfiltered edge_index to get_laplacian, crashing on any
+        # self-looped graph; every working reference path — chebynet — is
+        # self-loop-free by the time it gets here)
+        edge_index, edge_weight = remove_self_loop_edge(self.edge_index,
+                                                        self.edge_weight)
         lap_index, lap_weight = get_laplacian(
-            self.edge_index, self.num_nodes, self.edge_weight, normalization_type)
+            np.asarray(edge_index), self.num_nodes,
+            None if edge_weight is None else np.asarray(edge_weight),
+            normalization_type)
         lap = to_scipy_sparse_matrix(convert_union_to_numpy(lap_index),
                                      convert_union_to_numpy(lap_weight),
                                      self.num_nodes)
