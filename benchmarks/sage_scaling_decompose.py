@@ -130,7 +130,8 @@ def main():
             t_ablated = timeit(ablated, (params, opt_state,
                                          jax.random.PRNGKey(0),
                                          jnp.asarray(x_np), jnp.asarray(y_np),
-                                         jnp.asarray(mask), hw1, hw2))
+                                         jnp.asarray(mask), hw1, hw2)
+                               + csr_args)
 
         # ---- the step's collectives alone (fwd all_gathers + their AD
         # transpose reduce-scatter shape) -----------------------------------

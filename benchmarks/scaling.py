@@ -44,6 +44,9 @@ def measure(num_devices, graph, use_rcm=True, steps=10, model="gcn"):
     if model == "sage":
         from tf_geometric_tpu.parallel import (build_csr_shards,
                                                make_sampled_sage_step)
+        if os.environ.get("TFG_SAGE_EXCHANGE") == "bf16":
+            from tf_geometric_tpu.parallel import sampled_sage
+            sampled_sage.set_exchange_dtype(jnp.bfloat16)
         k = (25, 10)
         n_pad = -(-num_nodes // (128 * num_devices)) * (128 * num_devices)
         x_np = np.asarray(graph.x)
@@ -306,6 +309,8 @@ def main():
         avg_degree=int(os.environ.get("TFG_SCALING_DEGREE", 8)), seed=0)
     max_devices = len(jax.devices())
     counts = [c for c in (1, 2, 4, 8, 16) if c <= max_devices]
+    if os.environ.get("TFG_SCALING_COUNTS"):
+        counts = [int(c) for c in os.environ["TFG_SCALING_COUNTS"].split(",")]
     results = {"model": model}
     base = None
     for c in counts:

@@ -27,7 +27,19 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["build_csr_shards", "make_sampled_sage_step"]
+__all__ = ["build_csr_shards", "make_sampled_sage_step",
+           "set_exchange_dtype"]
+
+# dtype the projected feature table crosses the all_gather in (None = keep
+# f32). bf16 halves the step's two per-device-constant costs — collective
+# bytes and the backward full-table-gradient scatter — measured on the
+# virtual mesh in benchmarks/sage_scaling_decompose.py.
+exchange_dtype = None
+
+
+def set_exchange_dtype(dtype) -> None:
+    global exchange_dtype
+    exchange_dtype = dtype
 
 
 def build_csr_shards(edge_index, num_nodes: int, num_parts: int,
@@ -82,19 +94,31 @@ def build_csr_shards(edge_index, num_nodes: int, num_parts: int,
 def _sampled_mean_layer(x_local, key, csr, k, self_kernel, neighbor_kernel,
                         bias, graph_axis, activation):
     """One mean-SAGE layer under shard_map: project locally, all_gather the
-    PROJECTED table, draw + gather k slot lanes against global ids."""
+    PROJECTED table, draw + gather k slot lanes against global ids.
+
+    The table crosses the collective (and its AD-transpose materializes a
+    full-table gradient per device) in ``exchange_dtype`` — bf16 halves the
+    two dominant per-device-constant costs of this step (ICI bytes and the
+    backward d-table scatter; see benchmarks/sage_scaling_decompose.py and
+    SCALING.md). Accumulation stays f32.
+    """
     from ..nn.sampling.device_sampler import draw_fixed_k
+    from . import sampled_sage as _self
     hw_local = x_local @ neighbor_kernel                      # matmul-first
+    ex_dtype = _self.exchange_dtype
+    if ex_dtype is not None:
+        hw_local = hw_local.astype(ex_dtype)
     hw_global = jax.lax.all_gather(hw_local, graph_axis, tiled=True)
     n_local = x_local.shape[0]
     # zero-degree rows self-point at their GLOBAL id (weight 0 kills them)
     block0 = jax.lax.axis_index(graph_axis).astype(jnp.int32) * n_local
     self_ids = block0 + jnp.arange(n_local, dtype=jnp.int32)
     idx, weight = draw_fixed_k(key, csr, k, self_ids=self_ids)
-    acc = jnp.zeros((n_local, hw_global.shape[1]), hw_global.dtype)
+    acc = jnp.zeros((n_local, hw_global.shape[1]), jnp.float32)
     for j in range(k):                                        # unrolled lanes
         col_j = jnp.clip(idx[j], 0, hw_global.shape[0] - 1)
-        acc = acc + jnp.take(hw_global, col_j, axis=0) * weight[j][:, None]
+        acc = acc + (jnp.take(hw_global, col_j, axis=0).astype(jnp.float32)
+                     * weight[j][:, None])
     h = jnp.concatenate([x_local @ self_kernel, acc / k], axis=1) + bias
     return activation(h) if activation is not None else h
 
