@@ -26,8 +26,12 @@ HIDDEN = 128
 def main():
     import jax
     try:
+        # REDDIT_CACHE_DIR overrides the persistent cache location — point
+        # it at an empty dir to measure a genuinely COLD compile without
+        # disturbing the warm production cache
         jax.config.update("jax_compilation_cache_dir",
-                          "/root/.cache/jax_comp_cache")
+                          os.environ.get("REDDIT_CACHE_DIR",
+                                         "/root/.cache/jax_comp_cache"))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
@@ -44,6 +48,12 @@ def main():
     from tf_geometric_tpu.sparse import SparseMatrix
 
     kernel_config.set_ell_compute_dtype(jnp.bfloat16)
+    if os.environ.get("REDDIT_ELL_LAYOUT"):
+        # cold-start lever: "uniform" (classic fori_loop ELL) keeps the HLO
+        # O(1) in slot count — the bucketed layout's unrolled slot loops
+        # dominate cold compile time at this scale (see benchmarks/README.md
+        # Reddit section)
+        kernel_config.set_ell_layout(os.environ["REDDIT_ELL_LAYOUT"])
 
     t0 = time.time()
     graph = synthetic_ogbn_arxiv_like(num_nodes=N_NODES, num_edges=N_EDGES,

@@ -4,47 +4,52 @@ Companion to benchmarks/halo_overlap.py (VERDICT r2 #9): the wall-clock
 decomposition there can only *infer* overlap; this script settles it from
 the profiler's own event timeline. Run the probe with a trace:
 
-    TFG_SCALING_REAL=1 TFG_TRACE_DIR=/tmp/halo_trace \
-        python benchmarks/halo_overlap.py          # on a real pod slice
+    TFG_SCALING_REAL=1 python benchmarks/halo_overlap.py   # pod slice;
+                                                           # auto-captures
+                                                           # /tmp/halo_trace
     python benchmarks/overlap_trace_analysis.py /tmp/halo_trace
 
-Methodology: parse the XSpace protobuf the profiler writes, take every
-device line, classify events as COLLECTIVE (all-to-all / all-reduce /
-all-gather / collective-permute / reduce-scatter, including fusions whose
-name embeds one) or COMPUTE (everything else executing on the device), and
-merge each class's intervals. Then per device:
+Methodology: parse the Chrome-trace JSON the profiler writes
+(plugins/profile/<run>/*.trace.json.gz), keep only DEVICE-process events
+(process_name containing "TPU"/"GPU"/"/device:"), classify each complete
+event as COLLECTIVE (all-to-all / all-reduce / all-gather /
+collective-permute / reduce-scatter, including fusions whose name embeds
+one) or COMPUTE, and merge each class's intervals per device:
 
     overlap_fraction = (t_coll + t_comp - t_union) / min(t_coll, t_comp)
 
 1.0 → the cheaper class is fully hidden under the other; 0 → perfectly
-serialized. On TPU the collectives run on the DMA engines, so a trace from
-real hardware is the authoritative answer to whether the halo exchange
-hides under local aggregation (parallel/halo.py:19-23); on the CPU backend
-thunks serialize and this reports ~0 (the known lower bound, SCALING.md).
+serialized. On TPU the collectives run on dedicated DMA engines with their
+own trace lines, so a hardware trace is the authoritative answer to whether
+the halo exchange hides under local aggregation (parallel/halo.py:19-23).
+The CPU backend emits no device timeline in its traces — this script then
+reports that explicitly (the known-refuted CPU result lives in SCALING.md;
+this tool exists for the day real multi-chip hardware is attached).
 """
 import glob
+import gzip
 import json
 import os
 import sys
 
 COLLECTIVE_MARKERS = ("all-to-all", "all-reduce", "all-gather",
-                      "collective-permute", "reduce-scatter", "all-to-all-start",
-                      "ncclAllToAll", "cross-replica")
+                      "collective-permute", "reduce-scatter",
+                      "cross-replica", "ncclalltoall")
+
+DEVICE_MARKERS = ("tpu", "gpu", "/device:", "xla")
 
 
-def _find_xspace(trace_dir):
-    pats = [os.path.join(trace_dir, "**", "*.xplane.pb")]
-    files = []
-    for p in pats:
-        files.extend(glob.glob(p, recursive=True))
+def _find_trace(trace_dir):
+    files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
     if not files:
-        raise SystemExit(f"no .xplane.pb under {trace_dir} — did the probe "
-                         "run with TFG_TRACE_DIR set?")
+        raise SystemExit(f"no *.trace.json.gz under {trace_dir} — did the "
+                         "probe run with a trace dir set?")
     return max(files, key=os.path.getmtime)
 
 
 def _merged_duration(intervals):
-    total, cur_start, cur_end = 0, None, None
+    total, cur_start, cur_end = 0.0, None, None
     for s, e in sorted(intervals):
         if cur_end is None or s > cur_end:
             if cur_end is not None:
@@ -58,47 +63,53 @@ def _merged_duration(intervals):
 
 
 def analyze(trace_dir):
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    path = _find_trace(trace_dir)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
 
-    path = _find_xspace(trace_dir)
-    space = xplane_pb2.XSpace()
-    with open(path, "rb") as f:
-        space.ParseFromString(f.read())
+    process_names = {}
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            process_names[ev.get("pid")] = ev.get("args", {}).get("name", "")
+
+    device_pids = {pid: name for pid, name in process_names.items()
+                   if any(m in name.lower() for m in DEVICE_MARKERS)
+                   and "host" not in name.lower()}
 
     per_device = {}
-    for plane in space.planes:
-        name = plane.name
-        # device planes: "/device:TPU:0", "/device:CPU:0" XLA lines, GPU streams
-        if not (name.startswith("/device") or "TPU" in name or "XLA" in name):
-            continue
-        ev_names = dict(plane.event_metadata)
+    for pid, dev_name in device_pids.items():
         coll, comp = [], []
-        for line in plane.lines:
-            for ev in line.events:
-                meta = ev_names.get(ev.metadata_id)
-                ename = meta.name.lower() if meta is not None else ""
-                start = ev.offset_ps
-                end = ev.offset_ps + ev.duration_ps
-                if ev.duration_ps <= 0:
-                    continue
-                if any(m in ename for m in COLLECTIVE_MARKERS):
-                    coll.append((start, end))
-                else:
-                    comp.append((start, end))
+        for ev in events:
+            if ev.get("ph") != "X" or ev.get("pid") != pid:
+                continue
+            dur = ev.get("dur", 0)
+            if dur <= 0:
+                continue
+            start = ev.get("ts", 0.0)
+            name = ev.get("name", "").lower()
+            (coll if any(m in name for m in COLLECTIVE_MARKERS)
+             else comp).append((start, start + dur))
         if not coll and not comp:
             continue
         t_coll = _merged_duration(coll)
         t_comp = _merged_duration(comp)
         t_union = _merged_duration(coll + comp)
         denom = min(t_coll, t_comp)
-        overlap = (t_coll + t_comp - t_union) / denom if denom else 0.0
-        per_device[name] = {
-            "collective_ms": round(t_coll / 1e9, 3),
-            "compute_ms": round(t_comp / 1e9, 3),
-            "union_ms": round(t_union / 1e9, 3),
-            "overlap_fraction": round(overlap, 4),
+        per_device[dev_name] = {
+            "collective_ms": round(t_coll / 1e3, 3),
+            "compute_ms": round(t_comp / 1e3, 3),
+            "union_ms": round(t_union / 1e3, 3),
+            "overlap_fraction": (round((t_coll + t_comp - t_union) / denom, 4)
+                                 if denom else 0.0),
         }
-    return {"xspace": path, "devices": per_device}
+    result = {"trace": path, "devices": per_device}
+    if not per_device:
+        result["note"] = (
+            "no device-process timeline in this trace (the CPU backend "
+            "emits host events only) — rerun the probe on real TPU/GPU "
+            "hardware; device processes appear automatically there")
+    return result
 
 
 if __name__ == "__main__":
