@@ -68,7 +68,6 @@ def main():
             out = fn(*args)
             _ = np.asarray(out[2] if isinstance(out, tuple) else out)
             t = time.time()
-            o = args
             for i in range(steps):
                 out = fn(*args)
             _ = np.asarray(out[2] if isinstance(out, tuple) else out)
@@ -93,10 +92,15 @@ def main():
 
             def layer(h_local, lkey, k, p_l, table):
                 idx, weight = draw_fixed_k(lkey, csr, k, self_ids=self_ids)
+                # keep the real step's neighbor projection (and its kernel
+                # gradient) in the ablated program so t_full - t_ablated
+                # isolates ONLY the collective + table-gradient path
+                proj = h_local @ p_l["nb"]
                 acc = jnp.zeros((n_local, table.shape[1]), table.dtype)
                 for j in range(k):
                     col_j = jnp.clip(idx[j], 0, table.shape[0] - 1)
                     acc = acc + jnp.take(table, col_j, axis=0) * weight[j][:, None]
+                acc = acc + jnp.sum(proj) * 1e-20
                 h = jnp.concatenate([h_local @ p_l["self"], acc / k], axis=1) \
                     + p_l["bias"]
                 return jax.nn.relu(h)

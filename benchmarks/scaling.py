@@ -261,13 +261,22 @@ def _multiprocess_launch(nproc=2, local_devices=4):
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = (os.path.join(os.path.dirname(__file__), "..")
                          + os.pathsep + env.get("PYTHONPATH", ""))
+    import tempfile
+    # worker stdout goes to FILES, not pipes: a worker blocked on a full
+    # 64KB pipe stops participating in the Gloo collectives and deadlocks
+    # the whole cluster
+    logs = [tempfile.NamedTemporaryFile("w+", suffix=f".mp{pid}.log",
+                                        delete=False) for pid in range(nproc)]
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--mp-worker", str(port),
          str(pid), str(nproc), str(local_devices)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        stdout=logs[pid], stderr=subprocess.STDOUT, env=env)
         for pid in range(nproc)]
-    for p in procs:
-        out, _ = p.communicate(timeout=1200)
+    for p, log in zip(procs, logs):
+        p.wait(timeout=1200)
+        log.flush()
+        log.seek(0)
+        out = log.read()
         for line in out.splitlines():
             if line.startswith("MP_RESULT"):
                 print(line[len("MP_RESULT "):])

@@ -48,19 +48,27 @@ def _single_process_losses(two_level):
 
 
 def _run_cluster(two_level):
+    import tempfile
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # stdout to FILES: a worker blocked on a full pipe stalls its Gloo
+    # collectives and deadlocks the other worker until the timeout
+    logs = [tempfile.NamedTemporaryFile("w+", suffix=f".mh{pid}.log")
+            for pid in (0, 1)]
     procs = [subprocess.Popen(
         [sys.executable, os.path.join(HERE, "_multihost_worker.py"),
          str(port), str(pid), str(int(two_level))],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        stdout=logs[pid], stderr=subprocess.STDOUT, env=env)
         for pid in (0, 1)]
     outs = []
     try:
-        for p in procs:
-            out, _ = p.communicate(timeout=240)
+        for p, log in zip(procs, logs):
+            p.wait(timeout=240)
+            log.flush()
+            log.seek(0)
+            out = log.read()
             outs.append(out)
             assert p.returncode == 0, out[-3000:]
     finally:

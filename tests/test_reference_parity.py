@@ -78,16 +78,6 @@ def _jax_lstm_step(W, U, b):
     """One Keras-gate-order (i,f,c,o) LSTM step in jax."""
     units = W.shape[1] // 4
 
-    def step(carry, x_t):
-        h, c = carry
-        z = x_t @ W + h @ U + b
-        i = jax.nn.sigmoid(z[:, :units])
-        f = jax.nn.sigmoid(z[:, units:2 * units])
-        g = jnp.tanh(z[:, 2 * units:3 * units])
-        o = jax.nn.sigmoid(z[:, 3 * units:])
-        c = f * c + i * g
-        return (h, c), h  # placeholder; overwritten below
-
     def step_full(carry, x_t):
         h, c = carry
         z = x_t @ W + h @ U + b

@@ -59,8 +59,11 @@ def initialize(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except RuntimeError as exc:  # already initialized
-        if "already" not in str(exc):
+    except RuntimeError as exc:
+        # jax raises "distributed.initialize should only be called once."
+        # (wording varies by version) — the documented no-op path
+        msg = str(exc)
+        if "already" not in msg and "only be called once" not in msg:
             raise
 
 

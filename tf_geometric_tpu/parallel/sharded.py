@@ -443,7 +443,10 @@ def make_graph_parallel_gat_step(mesh: Mesh, halo_spec, num_heads: int = 8,
         out_specs=(P(), P(), P()),
     )
     jitted = jax.jit(inner)
-    plan_args = _plan_arrays(halo_spec)
+    # a plain tuple/list means the caller already distributed the plan
+    # (multi-host per-process shard loading — same contract as the GCN step)
+    plan_args = (_plan_arrays(halo_spec) if hasattr(halo_spec, "send_idx")
+                 else tuple(halo_spec))
 
     def step(params, opt_state, x, y, mask):
         return jitted(params, opt_state, x, y, mask, *plan_args)

@@ -389,7 +389,11 @@ def get_laplacian(edge_index, num_nodes: int, edge_weight=None,
         all_weight = jnp.concatenate(
             [edge_weight, jnp.full((num_nodes,), fill_weight, jnp.float32)], axis=0)
         safe_all_row = jnp.clip(new_index[0], 0, num_nodes - 1)
-        new_weight = jnp.take(deg, safe_all_row) - all_weight
+        # convention-padded edges (row == num_nodes, weight 0) must stay
+        # zero-weight — the clip would otherwise credit them deg[n-1]
+        in_range = new_index[0] < num_nodes
+        new_weight = jnp.where(in_range,
+                               jnp.take(deg, safe_all_row) - all_weight, 0.0)
         return new_index, new_weight
 
     safe_row = jnp.clip(edge_index[0], 0, num_nodes - 1)
