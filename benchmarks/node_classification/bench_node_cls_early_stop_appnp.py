@@ -25,7 +25,10 @@ from tf_geometric_tpu.layers import APPNP
 
 DATASET = os.environ.get("BENCH_DATASET", "cora")
 PATIENCE = 100
-MAX_STEPS = 400
+# reference per-dataset overrides (appnp.py/ssgc.py:29-31): pubmed l2 3e-3,
+# 200 steps
+MAX_STEPS = 200 if DATASET == "pubmed" else 400
+L2 = 3e-3 if DATASET == "pubmed" else 1e-3
 
 
 class APPNPModel(nn.Module):
@@ -55,7 +58,7 @@ def run(seed=0):
 
     return train_node_classifier(forward, params, jnp.asarray(graph.y), splits,
                                  num_steps=MAX_STEPS, patience=PATIENCE,
-                                 learning_rate=5e-3, l2_coef=1e-3)
+                                 learning_rate=5e-3, l2_coef=L2)
 
 
 if __name__ == "__main__":

@@ -27,19 +27,33 @@ DATASET = os.environ.get("BENCH_DATASET", "cora")
 PATIENCE = 100
 MAX_STEPS = 400
 
+# per-dataset settings, verbatim from the reference (gat.py:51-64):
+# cora drop 0.7 / l2 1e-3; citeseer drop 0.6 / l2 2e-3; pubmed drop 0.0 /
+# l2 2e-3 with the single-head-encoder + 8-head-mean-decoder architecture
+DROP = {"cora": 0.7, "citeseer": 0.6, "pubmed": 0.0}.get(DATASET, 0.6)
+L2 = {"cora": 1e-3, "citeseer": 2e-3, "pubmed": 2e-3}.get(DATASET, 1e-3)
+
 
 class GATModel(nn.Module):
     num_classes: int
 
     @nn.compact
     def __call__(self, x, edge_index, edge_weight, training=False):
-        x = nn.Dropout(0.6, deterministic=not training)(x)
-        h = GAT(units=64, attention_units=8, num_heads=8,
-                activation=jax.nn.relu, edge_drop_rate=0.6)(
+        x = nn.Dropout(DROP, deterministic=not training)(x)
+        if DATASET != "pubmed":
+            h = GAT(units=64, attention_units=8, num_heads=8,
+                    activation=jax.nn.relu, edge_drop_rate=DROP)(
+                [x, edge_index], training=training)
+            h = nn.Dropout(DROP, deterministic=not training)(h)
+            return GAT(units=self.num_classes, attention_units=1,
+                       edge_drop_rate=DROP)([h, edge_index], training=training)
+        h = GAT(units=64, attention_units=1, num_heads=1,
+                activation=jax.nn.relu, edge_drop_rate=DROP)(
             [x, edge_index], training=training)
-        h = nn.Dropout(0.6, deterministic=not training)(h)
-        return GAT(units=self.num_classes, attention_units=1,
-                   edge_drop_rate=0.6)([h, edge_index], training=training)
+        h = nn.Dropout(DROP, deterministic=not training)(h)
+        return GAT(units=self.num_classes, attention_units=8, num_heads=8,
+                   split_value_heads=False, edge_drop_rate=DROP)(
+            [h, edge_index], training=training)
 
 
 def run(seed=0):
@@ -59,7 +73,7 @@ def run(seed=0):
 
     return train_node_classifier(forward, params, jnp.asarray(graph.y), splits,
                                  num_steps=MAX_STEPS, patience=PATIENCE,
-                                 learning_rate=5e-3, l2_coef=1e-3)
+                                 learning_rate=5e-3, l2_coef=L2)
 
 
 if __name__ == "__main__":

@@ -25,7 +25,9 @@ from tf_geometric_tpu.layers import SGC
 
 DATASET = os.environ.get("BENCH_DATASET", "cora")
 PATIENCE = 100
-MAX_STEPS = 200
+# reference per-dataset overrides (sgc.py:25-29)
+MAX_STEPS = 60 if DATASET == "pubmed" else 200
+L2 = {"cora": 5e-6, "citeseer": 1e-4, "pubmed": 5e-5}.get(DATASET, 5e-6)
 
 
 class SGCModel(nn.Module):
@@ -53,7 +55,7 @@ def run(seed=0):
 
     return train_node_classifier(forward, params, jnp.asarray(graph.y), splits,
                                  num_steps=MAX_STEPS, patience=PATIENCE,
-                                 learning_rate=0.2, l2_coef=5e-6)
+                                 learning_rate=0.2, l2_coef=L2)
 
 
 if __name__ == "__main__":

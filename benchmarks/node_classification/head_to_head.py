@@ -62,19 +62,20 @@ def _build_ref_model(tfg, tf, model_name, num_classes, drop):
             return gcn1([h, ei, ew], cache=graph.cache)
         layers = [gcn0, gcn1]
     elif model_name == "gat":
-        # the reference bench script passes drop_rate= (gat.py:76-80) which
-        # its own current layer rejects (layers/conv/gat.py:17 renamed it
-        # edge_drop_rate — a third stale-API in the reference); use the
-        # intended kwarg
+        # cora protocol: drop_rate 0.7 (reference gat.py:58-60 overrides the
+        # 0.6 default). The reference bench passes drop_rate= which its own
+        # current layer rejects (layers/conv/gat.py:17 renamed it
+        # edge_drop_rate — a stale-API in the reference); use the intended
+        # kwarg.
         gat0 = tfg.layers.GAT(64, activation=tf.nn.relu, num_heads=8,
-                              edge_drop_rate=0.6, attention_units=8)
-        gat1 = tfg.layers.GAT(num_classes, edge_drop_rate=0.6,
+                              edge_drop_rate=0.7, attention_units=8)
+        gat1 = tfg.layers.GAT(num_classes, edge_drop_rate=0.7,
                               attention_units=1)
 
         def call(x, ei, ew, graph, training):
-            h = drop(x, 0.6, training)
+            h = drop(x, 0.7, training)
             h = gat0([h, ei], training=training)
-            h = drop(h, 0.6, training)
+            h = drop(h, 0.7, training)
             return gat1([h, ei], training=training)
         layers = [gat0, gat1]
     elif model_name == "appnp":
