@@ -5,7 +5,7 @@ mirroring the reference's bench_node_cls_early_stop_gcn.py:121-160) on the
 synthetic Cora-shaped graph at a fixed seed and pins the test accuracy so a
 numerics or training regression can't land silently. Committed 20-seed
 sweeps (results_<model>.txt, reference-protocol hyperparameters — see each
-bench script): GCN 0.9902±0.0022, GAT 0.9886±0.0007, APPNP 0.9899±0.0012,
+bench script): GCN 0.9902±0.0022, GAT 0.9885±0.0009, APPNP 0.9899±0.0012,
 SGC 0.9900±0.0000, SSGC 0.9899±0.0005 (SSGC's old 0.704 was a protocol
 deviation — fixed to the reference's [64,C], k=10, α=0.1, dropout 0.5).
 """
