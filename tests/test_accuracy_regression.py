@@ -40,6 +40,20 @@ def test_synthetic_cora_early_stop_accuracy(model, threshold):
         f"{model} early-stop test accuracy regressed: {acc:.4f} < {threshold}")
 
 
+def test_committed_citeseer_sweeps():
+    """Cross-dataset evidence: 20-seed sweeps on the citeseer-shaped graph
+    under the reference's per-dataset protocol overrides (results_
+    <model>_citeseer.txt; committed means 0.989-0.994)."""
+    import numpy as np
+    for model in ("gcn", "gat", "appnp", "sgc", "ssgc"):
+        path = os.path.join(BENCH_DIR, f"results_{model}_citeseer.txt")
+        assert os.path.exists(path), f"missing committed sweep {path}"
+        with open(path, encoding="utf-8") as f:
+            accs = [float(v) for v in f.read().split()]
+        assert len(accs) == 20, (model, len(accs))
+        assert np.mean(accs) >= 0.98, (model, np.mean(accs))
+
+
 def test_committed_sweep_results_are_present_and_sane():
     """The committed 20-seed evidence files must exist and hold plausible
     accuracies — the reference's entire regression mechanism (SURVEY §4.2)."""
