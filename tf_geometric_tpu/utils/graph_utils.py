@@ -253,8 +253,11 @@ def negative_sampling(num_samples, num_nodes, edge_index=None, replace=True,
                       mode="undirected", rng=None):
     """Sample node pairs absent from the graph (graph_utils.py:369-412).
 
-    Dense complement sampling, as in the reference: build the set of taken
-    pairs, draw uniformly from the complement (excluding the diagonal).
+    Rejection sampling: hash the taken pairs, then draw uniform (row, col)
+    candidates and reject hits / self-loops until ``num_samples`` accepted.
+    The reference instead densifies the complement set and draws from it;
+    for sparse graphs the rejection loop matches that distribution without
+    materializing the O(N^2) complement.
     """
     rng = np.random.default_rng(rng)
     taken = set()
