@@ -15,7 +15,8 @@ import numpy as np
 from ..data.graph import Graph
 from ..utils.graph_utils import convert_edge_to_directed, remove_self_loop_edge
 
-__all__ = ["synthetic_citation_graph", "synthetic_ogbn_arxiv_like", "FakePlanetoidDataset"]
+__all__ = ["synthetic_citation_graph", "synthetic_ogbn_arxiv_like",
+           "FakePlanetoidDataset", "HardCitationDataset"]
 
 
 def synthetic_citation_graph(
@@ -25,9 +26,16 @@ def synthetic_citation_graph(
     avg_degree: float = 4.0,
     homophily: float = 0.83,
     feature_signal: float = 4.0,
+    class_overlap: float = 0.0,
     seed: int = 0,
 ) -> Graph:
-    """Cora-shaped SBM: homophilous edges + class-informative sparse features."""
+    """Cora-shaped SBM: homophilous edges + class-informative sparse features.
+
+    ``class_overlap`` is the probability that a node's signal words are drawn
+    from a *different* (random) class's word block instead of its own — the
+    difficulty knob for the hard-mode protocol (at 0 the classes' word blocks
+    are disjoint and features alone nearly separate the classes).
+    """
     rng = np.random.default_rng(seed)
     y = rng.integers(0, num_classes, size=num_nodes).astype(np.int32)
 
@@ -53,7 +61,11 @@ def synthetic_citation_graph(
     x = np.zeros((num_nodes, num_features), np.float32)
     n_active = max(5, num_features // 60)
     for i in range(num_nodes):
-        base = y[i] * words_per_class
+        if class_overlap > 0.0 and rng.random() < class_overlap:
+            word_class = int(rng.integers(0, num_classes))
+        else:
+            word_class = int(y[i])
+        base = word_class * words_per_class
         signal_words = base + rng.integers(0, words_per_class, size=n_active)
         noise_words = rng.integers(0, num_features, size=n_active)
         x[i, signal_words % num_features] += feature_signal
@@ -106,3 +118,85 @@ class FakePlanetoidDataset:
         valid_index = list(range(n_train, n_train + 500))
         test_index = list(range(shape["num_nodes"] - 1000, shape["num_nodes"]))
         return graph, (train_index, valid_index, test_index)
+
+
+class HardCitationDataset:
+    """HARD-MODE synthetic protocol: same shapes as FakePlanetoidDataset, but
+    tuned so the *executed reference* GCN lands in the ~0.75–0.85 band its
+    published real-data numbers live in (cora 81.5 / citeseer 70.3 /
+    pubmed 79.0 — reference benchmarks/node_classification/
+    bench_node_cls_early_stop_gcn.py:121-160). At that operating point a
+    multi-point modeling bug visibly moves the number, unlike the saturated
+    easy protocol (0.99+) where any implementation passes.
+
+    Difficulty levers (vs the easy protocol):
+      * ``class_overlap``: a fraction of nodes draw their signal words from a
+        random class's word block — feature-space label noise that graph
+        propagation can partially rescue;
+      * lower ``homophily`` and ``feature_signal``;
+      * 10 (not 20) training labels per class, drawn per-class (balanced);
+      * ``label_noise``: a fraction of *training* labels flipped to a random
+        other class — flips are spread evenly over classes
+        (``round(noise·per_class)`` per class) because concentrated flips on
+        a small per-class budget make single seeds collapse to chance
+        (bimodal accuracy, measured during tuning). Val/test labels stay
+        clean, so reported accuracy still measures generalization.
+
+    The same (graph, splits, noisy-y) arrays feed both the executed reference
+    and the repo models in benchmarks/node_classification/head_to_head_hard.py.
+    """
+
+    _SHAPES = FakePlanetoidDataset._SHAPES
+
+    # difficulty per shape, tuned against the executed reference GCN
+    # (benchmarks/node_classification/tune_hard.py sweep)
+    _DIFFICULTY = {
+        "cora": dict(homophily=0.58, feature_signal=1.1, class_overlap=0.50),
+        "citeseer": dict(homophily=0.55, feature_signal=1.1, class_overlap=0.50),
+        "pubmed": dict(homophily=0.60, feature_signal=1.1, class_overlap=0.48),
+    }
+    TRAIN_PER_CLASS = 10
+    LABEL_NOISE = 0.10
+
+    def __init__(self, dataset_name: str = "cora", seed: int = 0):
+        self.dataset_name = dataset_name
+        self.seed = seed
+
+    def load_data(self):
+        shape = self._SHAPES[self.dataset_name]
+        diff = self._DIFFICULTY[self.dataset_name]
+        graph = synthetic_citation_graph(seed=self.seed, **shape, **diff)
+        num_classes = shape["num_classes"]
+        num_nodes = shape["num_nodes"]
+        rng = np.random.default_rng(self.seed + 10_000)
+        y = np.asarray(graph.y).copy()
+
+        # balanced per-class training labels from the front of the node range
+        # (mirrors Planetoid's "first nodes are train" layout), val after,
+        # test from the back — all disjoint
+        head = y[: num_nodes - 1000]
+        train_index = np.concatenate([
+            np.nonzero(head == c)[0][: self.TRAIN_PER_CLASS]
+            for c in range(num_classes)])
+        train_index = np.sort(train_index)
+        pool = np.setdiff1d(np.arange(num_nodes - 1000), train_index)
+        valid_index = np.sort(rng.choice(pool, size=500, replace=False))
+        test_index = np.arange(num_nodes - 1000, num_nodes)
+
+        # flip a fraction of TRAIN labels (clean val/test), evenly per class
+        flips_per_class = int(round(self.LABEL_NOISE * self.TRAIN_PER_CLASS))
+        y_clean = np.asarray(graph.y)
+        for c in range(num_classes):
+            members = train_index[y_clean[train_index] == c]
+            if len(members) == 0:
+                continue
+            victims = rng.choice(members, size=min(flips_per_class,
+                                                   len(members)),
+                                 replace=False)
+            for node in victims:
+                y[node] = (y[node] + 1 + rng.integers(0, num_classes - 1)) \
+                    % num_classes
+        graph.y = y.astype(np.int32)
+        return graph, (train_index.astype(np.int32),
+                       valid_index.astype(np.int32),
+                       test_index.astype(np.int32))

@@ -113,15 +113,23 @@ def distribute(mesh, spec, global_array):
 
 
 def distribute_halo_plan(mesh, graph_axis: str, halo_spec) -> Tuple:
-    """Per-host loading of a HaloSpec: each process instantiates only its
-    devices' rows of every plan array (send_idx [P,P,cap] + six [P,E*]
-    edge arrays, all sharded on the leading device dim — the layout
-    ``make_graph_parallel_*_step`` expects)."""
+    """Per-host loading of a halo plan: each process instantiates only its
+    devices' rows of every plan array (all sharded on the leading device
+    dim — the layout ``make_graph_parallel_*_step`` expects). Handles both
+    the COO :class:`~tf_geometric_tpu.parallel.halo.HaloSpec` (7 arrays) and
+    the packed :class:`~tf_geometric_tpu.parallel.halo.HaloSpecEll`
+    (23 arrays)."""
     from jax.sharding import PartitionSpec as P
 
-    # same ordering as sharded._plan_arrays
-    arrays = (halo_spec.send_idx, halo_spec.loc_row, halo_spec.loc_col,
-              halo_spec.loc_val, halo_spec.rem_row, halo_spec.rem_addr,
-              halo_spec.rem_val)
-    specs = (P(graph_axis, None, None),) + (P(graph_axis, None),) * 6
+    if hasattr(halo_spec, "local"):  # HaloSpecEll
+        from .halo import ell_plan_specs
+        arrays = ((halo_spec.send_idx,) + tuple(halo_spec.local)
+                  + tuple(halo_spec.remote))
+        specs = ell_plan_specs(halo_spec, graph_axis)
+    else:
+        # same ordering as sharded._plan_arrays
+        arrays = (halo_spec.send_idx, halo_spec.loc_row, halo_spec.loc_col,
+                  halo_spec.loc_val, halo_spec.rem_row, halo_spec.rem_addr,
+                  halo_spec.rem_val)
+        specs = (P(graph_axis, None, None),) + (P(graph_axis, None),) * 6
     return tuple(distribute(mesh, s, a) for s, a in zip(specs, arrays))

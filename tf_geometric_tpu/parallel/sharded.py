@@ -30,8 +30,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 __all__ = ["sharded_spmm_local", "make_graph_parallel_gcn_step", "make_batch_2d_step",
-           "make_graph_parallel_gat_step", "make_graph_parallel_mincut_step",
-           "build_mesh"]
+           "make_graph_parallel_gat_step", "make_graph_parallel_gat_fused_step",
+           "make_graph_parallel_mincut_step", "build_mesh"]
 
 
 def build_mesh(axis_sizes: dict, devices: Optional[Sequence] = None) -> Mesh:
@@ -76,6 +76,28 @@ def _squeeze_plan(plan):
     return tuple(a[0] for a in plan)
 
 
+def _resolve_plan(halo_spec, graph_axis: str):
+    """(plan_args, in_specs) for either plan flavor.
+
+    Accepts a HaloSpec (COO blocks), a HaloSpecEll (packed ELL blocks), or a
+    plain tuple of already-distributed arrays (multi-host per-process shard
+    loading, parallel/multihost.distribute_halo_plan) — distinguished by
+    length: 7 = COO, 23 = ELL.
+    """
+    from jax.sharding import PartitionSpec
+    from .halo import ell_plan_arrays, ell_plan_specs
+
+    if hasattr(halo_spec, "local"):           # HaloSpecEll
+        return ell_plan_arrays(halo_spec), ell_plan_specs(halo_spec, graph_axis)
+    if hasattr(halo_spec, "send_idx"):        # HaloSpec
+        return _plan_arrays(halo_spec), _plan_specs(graph_axis)
+    plan = tuple(halo_spec)                   # pre-distributed arrays
+    if len(plan) == 7:
+        return plan, _plan_specs(graph_axis)
+    return plan, tuple(
+        PartitionSpec(graph_axis, *([None] * (a.ndim - 1))) for a in plan)
+
+
 def make_graph_parallel_gcn_step(mesh: Mesh, graph_axis: str = "graph",
                                  num_layers: int = 2, hidden: int = 16,
                                  num_classes: int = 7, learning_rate: float = 1e-2,
@@ -98,13 +120,17 @@ def make_graph_parallel_gcn_step(mesh: Mesh, graph_axis: str = "graph",
     optimizer = optax.adam(learning_rate)
 
     def forward_halo(params, x_local, send_idx_local, plan, nodes_per_part):
-        from .halo import halo_exchange, halo_spmm_split
+        from .halo import halo_exchange, halo_spmm_ell, halo_spmm_split
+        ell_mode = len(plan) == 22  # 11 local + 11 remote block arrays
         h_local = x_local
         for li, (w, b) in enumerate(params):
             hw_local = h_local @ w
             recv = halo_exchange(hw_local, send_idx_local, graph_axis)
-            h_local = halo_spmm_split(hw_local, recv, *plan,
-                                      nodes_per_part) + b
+            if ell_mode:
+                h_local = halo_spmm_ell(hw_local, recv, plan) + b
+            else:
+                h_local = halo_spmm_split(hw_local, recv, *plan,
+                                          nodes_per_part) + b
             if li < len(params) - 1:
                 h_local = jax.nn.relu(h_local)
         return h_local
@@ -157,18 +183,14 @@ def make_graph_parallel_gcn_step(mesh: Mesh, graph_axis: str = "graph",
 
             return finish_step(params, opt_state, loss_fn)
 
+        plan_args, plan_specs = _resolve_plan(halo_spec, graph_axis)
         inner = shard_map(
             local_step, mesh=mesh,
             in_specs=(P(), P(), shard_spec, P(graph_axis), P(graph_axis))
-            + _plan_specs(graph_axis),
+            + plan_specs,
             out_specs=(P(), P(), P()),
         )
         jitted = jax.jit(inner)
-        # a plain tuple/list (not a HaloSpec) means the caller already
-        # distributed the plan arrays (multi-host per-process shard loading,
-        # parallel/multihost.distribute_halo_plan)
-        plan_args = (_plan_arrays(halo_spec) if hasattr(halo_spec, "send_idx")
-                     else tuple(halo_spec))
 
         def step(params, opt_state, x, y, mask):
             return jitted(params, opt_state, x, y, mask, *plan_args)
@@ -450,6 +472,111 @@ def make_graph_parallel_gat_step(mesh: Mesh, halo_spec, num_heads: int = 8,
 
     def step(params, opt_state, x, y, mask):
         return jitted(params, opt_state, x, y, mask, *plan_args)
+
+    return step, optimizer
+
+
+def make_graph_parallel_gat_fused_step(mesh: Mesh, gat_spec,
+                                       layer_dims=((8, 8),),
+                                       num_classes: int = 7,
+                                       graph_axis: str = "graph",
+                                       learning_rate: float = 5e-3,
+                                       edge_drop_rate: float = 0.0,
+                                       feat_drop_rate: float = 0.0,
+                                       query_activation=jax.nn.relu,
+                                       key_activation=jax.nn.relu):
+    """Edge-partitioned multi-head GAT training step on the PRODUCTION fused
+    attention kernel (ops/ell_attention.py) — the packed counterpart of
+    :func:`make_graph_parallel_gat_step`.
+
+    Each device's local + halo edges are one rectangular ELL layout over the
+    concatenated source space ``[local rows ‖ recv slots]``
+    (halo.build_gat_halo_spec), so SDDMM scores, the destination softmax,
+    attention dropout and the weighted aggregation all run scatter-free —
+    the same kernel ``bench.py`` measures single-chip. One all_to_all per
+    layer carries K‖V; the destination softmax stays device-local because
+    edges are owned by their destination row.
+
+    ``layer_dims``: a tuple of (num_heads, units_per_head) per GAT layer
+    (heads concatenated, ELU between layers — the reference two-layer stack
+    is ``((8, 8), (1, num_classes))``-shaped via a trailing linear head
+    here; reference nn/conv/gat.py:73-89, demo/demo_gat.py:14-23).
+    ``edge_drop_rate`` is the reference's attention dropout; per-device
+    dropout keys are derived by folding the mesh position into the step key.
+
+    ``params = ([(wq, bq, wk, bk, wv, bias) per layer], (w_out, b_out))``;
+    the step is ``step(params, opt_state, key, x_shard, y_shard,
+    mask_shard)``.
+    """
+    import optax
+
+    from .halo import gat_plan_arrays, gat_plan_specs, halo_exchange, \
+        halo_gat_attention
+
+    optimizer = optax.adam(learning_rate)
+    E_cap = gat_spec.num_edges
+    heads = [h for h, _ in layer_dims]
+
+    def local_step(params, opt_state, key, x_local, y_local, mask_local,
+                   *plan):
+        send_idx_local = plan[0][0]
+        layout_arrays = _squeeze_plan(plan[1:])
+        dev_key = jax.random.fold_in(key, jax.lax.axis_index(graph_axis))
+
+        def loss_fn(p):
+            gat_layers, (w_out, b_out) = p
+            h = x_local
+            k = dev_key
+            for li, (wq, bq, wk, bk, wv, bias) in enumerate(gat_layers):
+                k, k_feat, k_att = jax.random.split(k, 3)
+                if feat_drop_rate > 0.0:
+                    keep = jax.random.bernoulli(k_feat, 1.0 - feat_drop_rate,
+                                                h.shape)
+                    h = jnp.where(keep, h / (1.0 - feat_drop_rate), 0.0)
+                Q = h @ wq + bq
+                if query_activation is not None:
+                    Q = query_activation(Q)
+                K = h @ wk + bk
+                if key_activation is not None:
+                    K = key_activation(K)
+                V = h @ wv
+                HD = V.shape[1]
+                recv = halo_exchange(jnp.concatenate([K, V], axis=-1),
+                                     send_idx_local, graph_axis)
+                recv_flat = recv.reshape(-1, 2 * HD)
+                K_src = jnp.concatenate([K, recv_flat[:, :HD]], axis=0)
+                V_src = jnp.concatenate([V, recv_flat[:, HD:]], axis=0)
+                h = halo_gat_attention(
+                    Q, K_src, V_src, layout_arrays, E_cap, heads[li],
+                    edge_drop_rate=edge_drop_rate,
+                    training=edge_drop_rate > 0.0,
+                    dropout_key=k_att) + bias
+                h = jax.nn.elu(h)
+            logits = h @ w_out + b_out
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, jnp.clip(y_local, 0, None))
+            total = jax.lax.psum(jnp.sum(ce * mask_local), graph_axis)
+            count = jax.lax.psum(jnp.sum(mask_local), graph_axis)
+            return total / jnp.maximum(count, 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, graph_axis), grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    shard_spec = P(graph_axis, None)
+    plan_args = gat_plan_arrays(gat_spec)
+    inner = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(), shard_spec, P(graph_axis), P(graph_axis))
+        + gat_plan_specs(gat_spec, graph_axis),
+        out_specs=(P(), P(), P()),
+    )
+    jitted = jax.jit(inner)
+
+    def step(params, opt_state, key, x, y, mask):
+        return jitted(params, opt_state, key, x, y, mask, *plan_args)
 
     return step, optimizer
 
