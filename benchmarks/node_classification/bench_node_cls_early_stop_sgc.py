@@ -62,7 +62,9 @@ if __name__ == "__main__":
     # accepts any number of seeds — one process compiles once per shape and
     # reuses the dataset across seeds (20-seed protocol, run_multi_times.sh)
     seeds = [int(v) for v in sys.argv[1:]] or [0]
-    results_path = os.path.join(os.path.dirname(__file__), "results.txt")
+    results_path = os.environ.get(
+        "TFG_RESULTS_PATH",
+        os.path.join(os.path.dirname(__file__), "results.txt"))
     for seed in seeds:
         test_acc = run(seed)
         with open(results_path, "a", encoding="utf-8") as f:

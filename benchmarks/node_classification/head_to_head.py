@@ -34,6 +34,24 @@ PROTOCOLS = {
     "ssgc":  dict(lr=5e-3, l2=1e-3, steps=400),   # ref ssgc.py:24-27,104
 }
 
+# the reference scripts' per-dataset l2/dropout overrides (each
+# bench_node_cls_early_stop_*.py's `if dataset == ...` block)
+DATASET_OVERRIDES = {
+    "gat":   {"citeseer": dict(drop=0.6, l2=2e-3),   # ref gat.py:55-63
+              "cora": dict(drop=0.7, l2=1e-3),
+              "pubmed": dict(drop=0.0, l2=2e-3)},
+    "sgc":   {"citeseer": dict(l2=1e-4),             # ref sgc.py:25-28
+              "pubmed": dict(l2=5e-5)},
+    "appnp": {"pubmed": dict(l2=3e-3)},              # ref appnp.py:29-30
+    "ssgc":  {"pubmed": dict(l2=3e-3)},              # ref ssgc.py:29-30
+}
+
+
+def protocol_for(model_name, dataset="cora"):
+    proto = dict(PROTOCOLS[model_name])
+    proto.update(DATASET_OVERRIDES.get(model_name, {}).get(dataset, {}))
+    return proto
+
 
 def _load_shared_graph():
     """The same synthetic cora the repo benches train on, as numpy arrays."""
@@ -49,7 +67,7 @@ def _load_shared_graph():
     return x, ei, ew, y, splits
 
 
-def _build_ref_model(tfg, tf, model_name, num_classes, drop):
+def _build_ref_model(tfg, tf, model_name, num_classes, drop, dataset="cora"):
     """The model stacks from the reference bench scripts, verbatim."""
     if model_name == "gcn":
         gcn0 = tfg.layers.GCN(16, activation=tf.nn.relu)
@@ -62,20 +80,28 @@ def _build_ref_model(tfg, tf, model_name, num_classes, drop):
             return gcn1([h, ei, ew], cache=graph.cache)
         layers = [gcn0, gcn1]
     elif model_name == "gat":
-        # cora protocol: drop_rate 0.7 (reference gat.py:58-60 overrides the
-        # 0.6 default). The reference bench passes drop_rate= which its own
-        # current layer rejects (layers/conv/gat.py:17 renamed it
-        # edge_drop_rate — a stale-API in the reference); use the intended
-        # kwarg.
-        gat0 = tfg.layers.GAT(64, activation=tf.nn.relu, num_heads=8,
-                              edge_drop_rate=0.7, attention_units=8)
-        gat1 = tfg.layers.GAT(num_classes, edge_drop_rate=0.7,
-                              attention_units=1)
+        # per-dataset drop_rate/arch (reference gat.py:55-63,74-82; pubmed
+        # uses the 1-head encoder + 8-head mean decoder). The reference
+        # bench passes drop_rate= which its own current layer rejects
+        # (layers/conv/gat.py:17 renamed it edge_drop_rate — a stale-API in
+        # the reference); use the intended kwarg.
+        drate = DATASET_OVERRIDES["gat"].get(dataset, {}).get("drop", 0.6)
+        if dataset != "pubmed":
+            gat0 = tfg.layers.GAT(64, activation=tf.nn.relu, num_heads=8,
+                                  edge_drop_rate=drate, attention_units=8)
+            gat1 = tfg.layers.GAT(num_classes, edge_drop_rate=drate,
+                                  attention_units=1)
+        else:
+            gat0 = tfg.layers.GAT(64, activation=tf.nn.relu, num_heads=1,
+                                  edge_drop_rate=drate, attention_units=1)
+            gat1 = tfg.layers.GAT(num_classes, edge_drop_rate=drate,
+                                  num_heads=8, attention_units=8,
+                                  split_value_heads=False)
 
         def call(x, ei, ew, graph, training):
-            h = drop(x, 0.7, training)
+            h = drop(x, drate, training)
             h = gat0([h, ei], training=training)
-            h = drop(h, 0.7, training)
+            h = drop(h, drate, training)
             return gat1([h, ei], training=training)
         layers = [gat0, gat1]
     elif model_name == "appnp":
@@ -104,7 +130,7 @@ def _build_ref_model(tfg, tf, model_name, num_classes, drop):
     return call, layers
 
 
-def run_reference(model_name, seed, shared):
+def run_reference(model_name, seed, shared, dataset="cora"):
     """One seeded run of the reference model with the reference's early-stop
     loop (bench_node_cls_early_stop_gcn.py:121-156)."""
     sys.path.insert(0, os.path.join(HERE, "..", "..", "tests"))
@@ -114,7 +140,7 @@ def run_reference(model_name, seed, shared):
     import tensorflow as tf
 
     x_np, ei_np, ew_np, y_np, (train_index, valid_index, test_index) = shared
-    proto = PROTOCOLS[model_name]
+    proto = protocol_for(model_name, dataset)
     num_classes = int(y_np.max()) + 1
 
     tf.random.set_seed(seed)
@@ -128,7 +154,15 @@ def run_reference(model_name, seed, shared):
     def drop(h, rate, training):
         return tf.nn.dropout(h, rate) if training else h
 
-    call, _ = _build_ref_model(tfg, tf, model_name, num_classes, drop)
+    call, ref_layers = _build_ref_model(tfg, tf, model_name, num_classes,
+                                        drop, dataset)
+    # pre-build normalization caches OUTSIDE tf.function, as the reference
+    # bench does (bench_node_cls_early_stop_gcn.py:46
+    # model.gcn0.build_cache_for_graph(graph)) — the reference raises inside
+    # tf.function otherwise
+    for layer in ref_layers:
+        if hasattr(layer, "build_cache_for_graph"):
+            layer.build_cache_for_graph(graph)
     optimizer = tf.keras.optimizers.Adam(learning_rate=proto["lr"])
 
     def compute_loss(logits, mask_index, variables):
@@ -141,7 +175,21 @@ def run_reference(model_name, seed, shared):
         l2 = tf.add_n([tf.nn.l2_loss(v) for v in kernels])
         return tf.reduce_mean(losses) + l2 * proto["l2"]
 
-    def evaluate(index):
+    # graph-compiled train/eval, as the reference bench itself does
+    # (bench_node_cls_early_stop_gcn.py:88-106 decorates both with
+    # tf_utils.function) — several-fold faster on the 2-core CI host, and
+    # required to make 20-seed pubmed-shaped sweeps tractable
+    @tf.function
+    def train_step():
+        with tf.GradientTape() as tape:
+            logits = call(x, ei, ew, graph, True)
+            loss = compute_loss(logits, train_index,
+                                tape.watched_variables())
+        variables = tape.watched_variables()
+        optimizer.apply_gradients(
+            zip(tape.gradient(loss, variables), variables))
+
+    def _evaluate(index):
         logits = call(x, ei, ew, graph, False)
         masked_logits = tf.gather(logits, index)
         masked_labels = tf.gather(y, index)
@@ -149,18 +197,20 @@ def run_reference(model_name, seed, shared):
         acc = tf.reduce_mean(tf.cast(tf.equal(preds, masked_labels), tf.float32))
         ce = tf.nn.softmax_cross_entropy_with_logits(
             logits=masked_logits, labels=tf.one_hot(masked_labels, num_classes))
-        return float(acc), float(tf.reduce_mean(ce))
+        return acc, tf.reduce_mean(ce)
+
+    evaluate_val = tf.function(lambda: _evaluate(valid_index))
+    evaluate_test = tf.function(lambda: _evaluate(test_index))
+
+    def evaluate(which):
+        acc, ce = which()
+        return float(acc), float(ce)
 
     best_val_accuracy, min_val_loss = 0.0, 1000.0
     final_test_accuracy, patience_counter = None, 0
     for step in range(1, proto["steps"] + 1):
-        with tf.GradientTape() as tape:
-            logits = call(x, ei, ew, graph, True)
-            loss = compute_loss(logits, train_index, tape.watched_variables())
-        variables = tape.watched_variables()
-        optimizer.apply_gradients(zip(tape.gradient(loss, variables), variables))
-
-        val_accuracy, val_loss = evaluate(valid_index)
+        train_step()
+        val_accuracy, val_loss = evaluate(evaluate_val)
         if val_accuracy > best_val_accuracy or val_loss < min_val_loss:
             patience_counter = 0
         else:
@@ -168,7 +218,7 @@ def run_reference(model_name, seed, shared):
             if patience_counter > 100:
                 break
         if val_accuracy > best_val_accuracy and val_loss < min_val_loss:
-            test_accuracy, _ = evaluate(test_index)
+            test_accuracy, _ = evaluate(evaluate_test)
             final_test_accuracy = test_accuracy
             best_val_accuracy, min_val_loss = val_accuracy, val_loss
     return final_test_accuracy

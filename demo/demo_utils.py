@@ -29,7 +29,17 @@ def load_planetoid(name: str = "cora"):
     ``BENCH_DATASET`` selection (reference run_multi_times.sh passes the
     dataset per run)."""
     from tf_geometric_tpu.datasets import planetoid
-    from tf_geometric_tpu.datasets.synthetic_citation import FakePlanetoidDataset
+    from tf_geometric_tpu.datasets.synthetic_citation import (
+        FakePlanetoidDataset, HardCitationDataset)
+    if os.environ.get("TFG_HARD_PROTOCOL") == "1":
+        # hard-mode benchmark protocol (head_to_head_hard.py): tuned so the
+        # executed reference GCN lands ~0.75-0.85 — NON-saturated accuracy
+        seed = int(os.environ.get("TFG_HARD_SEED", "0"))
+        data = HardCitationDataset(name, seed=seed).load_data()
+        graph, splits = data
+        graph.convert_data_to_tensor()
+        return graph, tuple(jnp.asarray(np.asarray(s, np.int32))
+                            for s in splits)
     cls = {"cora": planetoid.CoraDataset,
            "citeseer": planetoid.CiteseerDataset,
            "pubmed": planetoid.PubmedDataset}[name]
@@ -58,9 +68,12 @@ def train_node_classifier(forward, params, y, splits, num_steps=200,
                           patience=None):
     """Generic loop: ``forward(params, training, key) -> logits``.
 
-    With ``patience`` set, performs val-accuracy early stopping and returns
-    the test accuracy at the best validation step (the reference benchmark
-    protocol, bench_node_cls_early_stop_gcn.py:121-156).
+    With ``patience`` set, runs the reference's exact early-stop rule
+    (bench_node_cls_early_stop_gcn.py:121-156): the patience counter resets
+    when val accuracy improves OR val loss drops; the test accuracy is
+    recorded only at steps where val accuracy improves AND val loss drops.
+    Matching the rule matters on non-saturated (hard-mode) benchmarks where
+    the stopping point visibly moves the reported number.
     """
     num_steps = demo_steps(num_steps)
     train_index, valid_index, test_index = splits
@@ -81,27 +94,37 @@ def train_node_classifier(forward, params, y, splits, num_steps=200,
     def accuracy(params):
         logits = forward(params, False, None)
         preds = jnp.argmax(logits, axis=-1)
-        return tuple(jnp.mean((preds[idx] == y[idx]).astype(jnp.float32))
+        accs = tuple(jnp.mean((preds[idx] == y[idx]).astype(jnp.float32))
                      for idx in (train_index, valid_index, test_index))
+        valid_loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits[valid_index], y[valid_index]).mean()
+        return accs + (valid_loss,)
 
-    best_valid, best_test, bad_steps = -1.0, 0.0, 0
+    # the reference's dual-criterion early stop (gcn.py:121-156): reset
+    # patience on acc-OR-loss improvement, record test on acc-AND-loss
+    best_valid, min_val_loss = 0.0, 1000.0
+    best_test, bad_steps = 0.0, 0
     for step in range(num_steps):
         key, subkey = jax.random.split(key)
         params, opt_state, loss = train_step(params, opt_state, subkey)
         if patience is not None or step % log_every == 0:
-            train_acc, valid_acc, test_acc = (float(a) for a in accuracy(params))
+            train_acc, valid_acc, test_acc, valid_loss = (
+                float(a) for a in accuracy(params))
             if step % log_every == 0:
                 print(f"step {step}: loss={float(loss):.4f} "
                       f"train={train_acc:.4f} valid={valid_acc:.4f} "
                       f"test={test_acc:.4f}")
             if patience is not None:
-                if valid_acc > best_valid:
-                    best_valid, best_test, bad_steps = valid_acc, test_acc, 0
+                if valid_acc > best_valid or valid_loss < min_val_loss:
+                    bad_steps = 0
                 else:
                     bad_steps += 1
-                    if bad_steps >= patience:
+                    if bad_steps > patience:
                         print(f"early stop at step {step}")
                         break
+                if valid_acc > best_valid and valid_loss < min_val_loss:
+                    best_test = test_acc
+                    best_valid, min_val_loss = valid_acc, valid_loss
     if patience is not None:
         print(f"best valid={best_valid:.4f} test@best={best_test:.4f}")
         return best_test
@@ -114,8 +137,16 @@ def train_node_classifier(forward, params, y, splits, num_steps=200,
 
 def load_graph_classification_data(name="NCI1", num_fallback_graphs=600, seed=0):
     """TU graphs as (graphs: List[Graph], num_classes). Falls back to a
-    synthetic set of degree-distinguishable random graphs offline."""
+    synthetic set of degree-distinguishable random graphs offline. With
+    ``TFG_HARD_GRAPH_CLS=1`` returns the hard-mode structural set instead
+    (benchmarks/graph_classification/head_to_head_graph.py)."""
     from tf_geometric_tpu.data.graph import Graph
+    if os.environ.get("TFG_HARD_GRAPH_CLS") == "1":
+        from tf_geometric_tpu.datasets.synthetic_citation import \
+            synthetic_graph_classification_hard
+        return synthetic_graph_classification_hard(
+            num_graphs=num_fallback_graphs,
+            seed=int(os.environ.get("TFG_HARD_SEED", "0")))
     try:
         from tf_geometric_tpu.datasets import TUDataset
         graph_dicts = TUDataset(name).load_data()

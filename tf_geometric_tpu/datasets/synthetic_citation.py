@@ -16,7 +16,8 @@ from ..data.graph import Graph
 from ..utils.graph_utils import convert_edge_to_directed, remove_self_loop_edge
 
 __all__ = ["synthetic_citation_graph", "synthetic_ogbn_arxiv_like",
-           "FakePlanetoidDataset", "HardCitationDataset"]
+           "FakePlanetoidDataset", "HardCitationDataset",
+           "synthetic_graph_classification_hard"]
 
 
 def synthetic_citation_graph(
@@ -151,7 +152,7 @@ class HardCitationDataset:
     # difficulty per shape, tuned against the executed reference GCN
     # (benchmarks/node_classification/tune_hard.py sweep)
     _DIFFICULTY = {
-        "cora": dict(homophily=0.58, feature_signal=1.1, class_overlap=0.50),
+        "cora": dict(homophily=0.62, feature_signal=1.2, class_overlap=0.45),
         "citeseer": dict(homophily=0.55, feature_signal=1.1, class_overlap=0.50),
         "pubmed": dict(homophily=0.60, feature_signal=1.1, class_overlap=0.48),
     }
@@ -200,3 +201,41 @@ class HardCitationDataset:
         return graph, (train_index.astype(np.int32),
                        valid_index.astype(np.int32),
                        test_index.astype(np.int32))
+
+
+def synthetic_graph_classification_hard(num_graphs: int = 400,
+                                        num_features: int = 4,
+                                        hub_exponent: float = 2.0,
+                                        seed: int = 0):
+    """HARD-MODE graph-classification set (two structural classes).
+
+    Both classes have identical node counts, edge counts, and featureless
+    (constant) node features — only the WIRING differs: class 0 draws edge
+    destinations uniformly, class 1 draws them hub-biased
+    (``u**hub_exponent``; exponent → 1 makes the classes identical, larger
+    = easier). The label is carried purely by topology (degree shape /
+    local density), the regime where a pooling readout actually has to work
+    — unlike the easy fallback set whose classes differ 2.5× in edge count
+    (demo_utils.load_graph_classification_data). Tuned so the executed
+    reference MeanPool lands ~0.70-0.85 (benchmarks/graph_classification/
+    head_to_head_graph.py).
+
+    Returns ``(graphs, num_classes)`` like the dataset loaders.
+    """
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for g in range(num_graphs):
+        label = int(g % 2)
+        n = int(rng.integers(12, 28))
+        e = 3 * n
+        src = rng.integers(0, n, size=e)
+        if label == 0:
+            dst = rng.integers(0, n, size=e)
+        else:
+            dst = np.minimum((rng.random(e) ** hub_exponent * n).astype(np.int64),
+                             n - 1)
+        ei = np.stack([dst, src]).astype(np.int32)
+        x = np.full((n, num_features), 1.0 / num_features, np.float32)
+        graphs.append(Graph(x=x, edge_index=ei, y=np.asarray([label])))
+    order = rng.permutation(num_graphs)
+    return [graphs[i] for i in order], 2
