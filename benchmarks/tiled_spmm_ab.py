@@ -70,13 +70,18 @@ def time_paths(name, edge_index):
     idx = np.asarray(jax.device_get(normed.index))
     val = np.asarray(jax.device_get(normed.value))
 
+    # occupancy stats WITHOUT materializing tiles (a random graph at t=128
+    # would allocate ~40 GB of stat-only zeros)
+    rows_h, cols_h = idx[0], idx[1]
     results = {}
     for t in (128, 256):
-        ts = build_tiled_spmm(idx, val, (num_nodes, num_nodes), tile=t,
-                              dtype=jnp.bfloat16)
-        results[f"occupancy_t{t}"] = round(ts.occupancy, 5)
-        results[f"B_t{t}"] = int(ts.a_tiles.shape[0])
-        results[f"tile_GB_t{t}"] = round(ts.bytes_per_pass(F) / 1e9, 2)
+        n_tiles = -(-num_nodes // t)
+        pair = (rows_h // t).astype(np.int64) * (n_tiles + 1) + cols_h // t
+        B = len(np.unique(pair))
+        results[f"occupancy_t{t}"] = round(len(rows_h) / (B * t * t), 5)
+        results[f"B_t{t}"] = B
+        results[f"tile_GB_t{t}"] = round((B * t * t * 2 + B * t * F * 4) / 1e9,
+                                         2)
     print(f"[{name}] " + " ".join(f"{k}={v}" for k, v in results.items()),
           flush=True)
 
@@ -98,30 +103,42 @@ def time_paths(name, edge_index):
     h0 = jnp.asarray(rng.normal(size=(num_nodes, F)), jnp.float32)
     c = jnp.asarray(rng.normal(size=(num_nodes, F)), jnp.float32)
 
+    # hybrid split (the measured production mode, utils/jax_utils): the GB-
+    # scale tile matrices ride as jit ARGUMENTS (constants 413 the remote
+    # compile past ~100 MB), the small int32 tile-id arrays stay constants
+    a_arg, ta_arg = ts.a_tiles, ts.t_a_tiles
+    ts_holder = ts._replace(a_tiles=None, t_a_tiles=None)
+
     @jax.jit
     def ell_fwd(h):
         return (adj.matmul(h) * 1e-6 + h,)
 
     @jax.jit
-    def tiled_fwd(h):
-        return (tiled_spmm(ts, h) * 1e-6 + h,)
+    def tiled_fwd(h, a, ta):
+        ts2 = ts_holder._replace(a_tiles=a, t_a_tiles=ta)
+        return (tiled_spmm(ts2, h) * 1e-6 + h, a, ta)
 
-    def fwd_bwd(spmm):
-        def loss(h):
-            return jnp.vdot(spmm(h), c)
+    def loss_ell(h):
+        return jnp.vdot(adj.matmul(h), c)
 
-        @jax.jit
-        def step(h):
-            return (h - 1e-9 * jax.grad(loss)(h),)
-        return step
+    @jax.jit
+    def ell_fb(h):
+        return (h - 1e-9 * jax.grad(loss_ell)(h),)
 
-    ell_fb = fwd_bwd(lambda h: adj.matmul(h))
-    tiled_fb = fwd_bwd(lambda h: tiled_spmm(ts, h))
+    @jax.jit
+    def tiled_fb(h, a, ta):
+        def loss(hh):
+            ts2 = ts_holder._replace(a_tiles=a, t_a_tiles=ta)
+            return jnp.vdot(tiled_spmm(ts2, hh), c)
+        return (h - 1e-9 * jax.grad(loss)(h), a, ta)
 
     out = {}
-    for label, fn in (("ell_fwd", ell_fwd), ("tiled_fwd", tiled_fwd),
-                      ("ell_fwd_bwd", ell_fb), ("tiled_fwd_bwd", tiled_fb)):
-        dt = measure_step_time(lambda h: fn(h), (h0,), lo=4, hi=16)
+    for label, fn, args in (
+            ("ell_fwd", ell_fwd, (h0,)),
+            ("tiled_fwd", tiled_fwd, (h0, a_arg, ta_arg)),
+            ("ell_fwd_bwd", ell_fb, (h0,)),
+            ("tiled_fwd_bwd", tiled_fb, (h0, a_arg, ta_arg))):
+        dt = measure_step_time(lambda *a: fn(*a), args, lo=4, hi=16)
         out[label] = dt
         print(f"[{name}] {label}: {dt * 1e3:.2f} ms "
               f"({E / dt / 1e6:.1f}M edges/s)", flush=True)

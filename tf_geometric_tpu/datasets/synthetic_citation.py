@@ -17,7 +17,7 @@ from ..utils.graph_utils import convert_edge_to_directed, remove_self_loop_edge
 
 __all__ = ["synthetic_citation_graph", "synthetic_ogbn_arxiv_like",
            "FakePlanetoidDataset", "HardCitationDataset",
-           "synthetic_graph_classification_hard"]
+           "synthetic_graph_classification_hard", "flip_graph_labels"]
 
 
 def synthetic_citation_graph(
@@ -205,7 +205,7 @@ class HardCitationDataset:
 
 def synthetic_graph_classification_hard(num_graphs: int = 400,
                                         num_features: int = 4,
-                                        hub_exponent: float = 2.0,
+                                        hub_exponent: float = 2.5,
                                         seed: int = 0):
     """HARD-MODE graph-classification set (two structural classes).
 
@@ -239,3 +239,16 @@ def synthetic_graph_classification_hard(num_graphs: int = 400,
         graphs.append(Graph(x=x, edge_index=ei, y=np.asarray([label])))
     order = rng.permutation(num_graphs)
     return [graphs[i] for i in order], 2
+
+
+def flip_graph_labels(graphs, noise: float = 0.1, seed: int = 42):
+    """Flip ``noise`` of the given (TRAIN) graphs' binary labels in place —
+    shared train-label noise for the graph-level hard benchmark (apply AFTER
+    the train/test split so the test metric stays clean; both head-to-head
+    sides call this with the same seed so they see identical data)."""
+    rng = np.random.default_rng(seed)
+    k = int(round(noise * len(graphs)))
+    for i in rng.choice(len(graphs), size=k, replace=False):
+        g = graphs[i]
+        g.y = np.asarray([1 - int(np.asarray(g.y).flatten()[0])])
+    return graphs
