@@ -6,7 +6,7 @@ deterministic problem as the single-process oracle, loads ONLY its own shards
 (parallel/multihost.distribute*), runs 3 halo-GCN training steps, prints the
 per-step losses for the parent to compare.
 
-Usage: python _multihost_worker.py <port> <process_id> <two_level:0|1>
+Usage: python _multihost_worker.py <port> <process_id> <two_level:0|1> [layout]
 """
 import os
 import sys
@@ -22,7 +22,7 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 
-def build_problem(num_parts):
+def build_problem(num_parts, layout="coo"):
     """Deterministic problem shared with the single-process oracle."""
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -42,7 +42,7 @@ def build_problem(num_parts):
 
     part = partition_edges_by_row(index, value, num_nodes, num_parts,
                                   pad_multiple=16)
-    halo = build_halo_spec(part)
+    halo = build_halo_spec(part, layout=layout)
     n_pad = part.num_nodes_padded
     x_p = np.zeros((n_pad, f), np.float32); x_p[:num_nodes] = x
     y_p = np.zeros(n_pad, np.int32); y_p[:num_nodes] = y
@@ -91,6 +91,7 @@ def main():
 
     port, process_id, two_level_arg = (int(sys.argv[1]), int(sys.argv[2]),
                                        int(sys.argv[3]))
+    layout = sys.argv[4] if len(sys.argv) > 4 else "coo"
     multihost.initialize(coordinator_address=f"localhost:{port}",
                          num_processes=2, process_id=process_id)
     assert jax.process_count() == 2
@@ -99,7 +100,8 @@ def main():
     two_level = bool(two_level_arg)
     mesh = multihost.build_multihost_mesh(two_level=two_level)
     num_parts = 4 if two_level else 8
-    x_p, y_p, mask, halo, params, hidden, num_classes = build_problem(num_parts)
+    x_p, y_p, mask, halo, params, hidden, num_classes = build_problem(
+        num_parts, layout=layout)
     losses = run_steps(mesh, "graph", x_p, y_p, mask, halo, params, hidden,
                        num_classes)
     print("LOSSES", " ".join(f"{v:.8f}" for v in losses), flush=True)

@@ -30,7 +30,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _single_process_losses(two_level):
+def _single_process_losses(two_level, layout="coo"):
     """Oracle: the same problem on this process's 8 virtual devices."""
     sys.path.insert(0, HERE)
     import _multihost_worker as w
@@ -38,7 +38,8 @@ def _single_process_losses(two_level):
     from tf_geometric_tpu.parallel.sharded import build_mesh
 
     num_parts = 4 if two_level else 8
-    x_p, y_p, mask, halo, params, hidden, num_classes = w.build_problem(num_parts)
+    x_p, y_p, mask, halo, params, hidden, num_classes = w.build_problem(
+        num_parts, layout=layout)
     if two_level:
         mesh = build_mesh({"data": 2, "graph": 4})
     else:
@@ -47,7 +48,7 @@ def _single_process_losses(two_level):
                        num_classes)
 
 
-def _run_cluster(two_level):
+def _run_cluster(two_level, layout="coo"):
     import tempfile
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
@@ -59,7 +60,7 @@ def _run_cluster(two_level):
             for pid in (0, 1)]
     procs = [subprocess.Popen(
         [sys.executable, os.path.join(HERE, "_multihost_worker.py"),
-         str(port), str(pid), str(int(two_level))],
+         str(port), str(pid), str(int(two_level)), layout],
         stdout=logs[pid], stderr=subprocess.STDOUT, env=env)
         for pid in (0, 1)]
     outs = []
@@ -83,11 +84,13 @@ def _run_cluster(two_level):
     return losses
 
 
-@pytest.mark.parametrize("two_level", [True, False],
-                         ids=["ici_x_dcn", "flat_graph_over_dcn"])
-def test_two_process_cluster_matches_single_process(two_level):
-    expected = _single_process_losses(two_level)
-    got = _run_cluster(two_level)
+@pytest.mark.parametrize("two_level,layout",
+                         [(True, "coo"), (False, "coo"), (False, "ell")],
+                         ids=["ici_x_dcn", "flat_graph_over_dcn",
+                              "flat_graph_ell_plan"])
+def test_two_process_cluster_matches_single_process(two_level, layout):
+    expected = _single_process_losses(two_level, layout)
+    got = _run_cluster(two_level, layout)
     # both processes must agree (replicated loss) …
     np.testing.assert_allclose(got[0], got[1], rtol=0, atol=0)
     # … and match the single-process oracle
