@@ -40,10 +40,10 @@ DATASET_OVERRIDES = {
     "gat":   {"citeseer": dict(drop=0.6, l2=2e-3),   # ref gat.py:55-63
               "cora": dict(drop=0.7, l2=1e-3),
               "pubmed": dict(drop=0.0, l2=2e-3)},
-    "sgc":   {"citeseer": dict(l2=1e-4),             # ref sgc.py:25-28
-              "pubmed": dict(l2=5e-5)},
-    "appnp": {"pubmed": dict(l2=3e-3)},              # ref appnp.py:29-30
-    "ssgc":  {"pubmed": dict(l2=3e-3)},              # ref ssgc.py:29-30
+    "sgc":   {"citeseer": dict(l2=1e-4),             # ref sgc.py:25-29
+              "pubmed": dict(l2=5e-5, steps=60)},    # num_steps = 61
+    "appnp": {"pubmed": dict(l2=3e-3, steps=200)},   # ref appnp.py:29-31
+    "ssgc":  {"pubmed": dict(l2=3e-3, steps=200)},   # ref ssgc.py:29-31
 }
 
 

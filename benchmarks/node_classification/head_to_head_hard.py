@@ -58,18 +58,19 @@ def run_repo_side(model, shape, num_seeds):
     on the hard data. Returns the accuracy list and commits it to
     results_<model>_<shape>_hard.txt."""
     results_path = os.path.join(HERE, f"results_{model}_{shape}_hard.txt")
+    done = 0
     if os.path.exists(results_path):
         with open(results_path, encoding="utf-8") as f:
             accs = [float(v) for v in f.read().split()]
         if len(accs) >= num_seeds:
             return accs[:num_seeds]
-        os.remove(results_path)
+        done = len(accs)  # partial file: run only the missing seeds (append)
     env = dict(os.environ,
                TFG_HARD_PROTOCOL="1", TFG_HARD_SEED="0",
                BENCH_DATASET=shape, BENCH_PLATFORM="cpu",
                TFG_RESULTS_PATH=results_path)
     script = os.path.join(HERE, f"bench_node_cls_early_stop_{model}.py")
-    cmd = [sys.executable, script] + [str(s) for s in range(num_seeds)]
+    cmd = [sys.executable, script] + [str(s) for s in range(done, num_seeds)]
     proc = subprocess.run(cmd, env=env, capture_output=True, text=True)
     if proc.returncode != 0:
         raise RuntimeError(
@@ -80,7 +81,10 @@ def run_repo_side(model, shape, num_seeds):
 
 
 def main(num_seeds=20, only=None):
-    out_path = os.path.join(HERE, "head_to_head_hard.json")
+    # TFG_H2H_OUT: separate output file so two harness processes can split
+    # the (model, shape) grid without clobbering each other's checkpoints
+    out_path = os.path.join(HERE, os.environ.get("TFG_H2H_OUT",
+                                                 "head_to_head_hard.json"))
     out = {}
     if os.path.exists(out_path):
         with open(out_path, encoding="utf-8") as f:
