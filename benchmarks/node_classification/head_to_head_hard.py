@@ -89,43 +89,44 @@ def main(num_seeds=20, only=None):
     if os.path.exists(out_path):
         with open(out_path, encoding="utf-8") as f:
             out = json.load(f)  # resume: keep completed entries
-    for shape in SHAPES:
-        shared = None
-        for model in MODELS:
-            key = f"{model}_{shape}"
-            if only and key not in only:
-                continue
-            if key in out and len(out[key]["reference"]) >= num_seeds:
-                continue
-            if shared is None:
-                shared = shared_from_hard(shape)
-            repo_accs = run_repo_side(model, shape, num_seeds)
-            print(f"{key}: repo mean {np.mean(repo_accs):.4f} "
-                  f"± {np.std(repo_accs):.4f}", flush=True)
-            ref_accs = []
-            for seed in range(num_seeds):
-                acc = run_reference(model, seed, shared, dataset=shape)
-                ref_accs.append(acc)
-                print(f"{key} ref seed {seed}: {acc:.4f}", flush=True)
-            out[key] = {
-                "reference": ref_accs,
-                "repo": repo_accs,
-                "reference_mean": float(np.mean(ref_accs)),
-                "reference_std": float(np.std(ref_accs)),
-                "repo_mean": float(np.mean(repo_accs)),
-                "repo_std": float(np.std(repo_accs)),
-                "delta": float(np.mean(repo_accs) - np.mean(ref_accs)),
-            }
-            print("{}: ref {:.4f}±{:.4f}  repo {:.4f}±{:.4f}  delta {:+.4f}"
-                  .format(key, out[key]["reference_mean"],
-                          out[key]["reference_std"], out[key]["repo_mean"],
-                          out[key]["repo_std"], out[key]["delta"]),
-                  flush=True)
-            with open(out_path, "w", encoding="utf-8") as f:
-                json.dump(out, f, indent=2)  # checkpoint after every entry
+    # CLI order is honored (cheap combos can be scheduled first); default
+    # grid order is shape-major
+    keys = list(only) if only else [f"{m}_{s}" for s in SHAPES for m in MODELS]
+    shared_cache = {}
+    for key in keys:
+        model, shape = key.rsplit("_", 1)
+        if key in out and len(out[key]["reference"]) >= num_seeds:
+            continue
+        if shape not in shared_cache:
+            shared_cache[shape] = shared_from_hard(shape)
+        shared = shared_cache[shape]
+        repo_accs = run_repo_side(model, shape, num_seeds)
+        print(f"{key}: repo mean {np.mean(repo_accs):.4f} "
+              f"± {np.std(repo_accs):.4f}", flush=True)
+        ref_accs = []
+        for seed in range(num_seeds):
+            acc = run_reference(model, seed, shared, dataset=shape)
+            ref_accs.append(acc)
+            print(f"{key} ref seed {seed}: {acc:.4f}", flush=True)
+        out[key] = {
+            "reference": ref_accs,
+            "repo": repo_accs,
+            "reference_mean": float(np.mean(ref_accs)),
+            "reference_std": float(np.std(ref_accs)),
+            "repo_mean": float(np.mean(repo_accs)),
+            "repo_std": float(np.std(repo_accs)),
+            "delta": float(np.mean(repo_accs) - np.mean(ref_accs)),
+        }
+        print("{}: ref {:.4f}±{:.4f}  repo {:.4f}±{:.4f}  delta {:+.4f}"
+              .format(key, out[key]["reference_mean"],
+                      out[key]["reference_std"], out[key]["repo_mean"],
+                      out[key]["repo_std"], out[key]["delta"]),
+              flush=True)
+        with open(out_path, "w", encoding="utf-8") as f:
+            json.dump(out, f, indent=2)  # checkpoint after every entry
     print("wrote head_to_head_hard.json")
 
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    main(n, only=set(sys.argv[2:]) or None)
+    main(n, only=sys.argv[2:] or None)
