@@ -1,13 +1,16 @@
-"""End-to-end accuracy regression with hard thresholds (VERDICT r1 #2).
+"""End-to-end accuracy SMOKE checks on the easy (saturated) protocol.
 
-Runs the early-stop benchmark protocol (benchmarks/node_classification/*,
-mirroring the reference's bench_node_cls_early_stop_gcn.py:121-160) on the
-synthetic Cora-shaped graph at a fixed seed and pins the test accuracy so a
-numerics or training regression can't land silently. Committed 20-seed
-sweeps (results_<model>.txt, reference-protocol hyperparameters — see each
-bench script): GCN 0.9902±0.0022, GAT 0.9885±0.0009, APPNP 0.9899±0.0012,
-SGC 0.9900±0.0000, SSGC 0.9899±0.0005 (SSGC's old 0.704 was a protocol
-deviation — fixed to the reference's [64,C], k=10, α=0.1, dropout 0.5).
+These runs sit at 0.99±0.00x — they catch gross numerics/training
+breakage (NaNs, a dead layer, an optimizer regression) cheaply, but a
+saturated benchmark has no discriminative power for subtle modeling bugs.
+The DISCRIMINATIVE accuracy evidence lives in the hard-mode head-to-head
+(tests/test_head_to_head_hard.py + benchmarks/node_classification/
+head_to_head_hard.py), where the executed reference lands in its real-data
+band and a multi-point error would move the number.
+
+Committed 20-seed easy sweeps (results_<model>.txt): GCN 0.9902±0.0022,
+GAT 0.9885±0.0009, APPNP 0.9899±0.0012, SGC 0.9900±0.0000,
+SSGC 0.9899±0.0005.
 """
 import importlib.util
 import os
