@@ -73,7 +73,7 @@ def run(seed=0):
 
     return train_node_classifier(forward, params, jnp.asarray(graph.y), splits,
                                  num_steps=MAX_STEPS, patience=PATIENCE,
-                                 learning_rate=5e-3, l2_coef=L2)
+                                 learning_rate=5e-3, l2_coef=L2, seed=seed)
 
 
 if __name__ == "__main__":

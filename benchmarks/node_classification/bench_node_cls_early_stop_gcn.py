@@ -56,7 +56,7 @@ def run(seed=0):
 
     return train_node_classifier(forward, params, jnp.asarray(graph.y), splits,
                                  num_steps=MAX_STEPS, patience=PATIENCE,
-                                 learning_rate=1e-2, l2_coef=5e-4)
+                                 learning_rate=1e-2, l2_coef=5e-4, seed=seed)
 
 
 if __name__ == "__main__":

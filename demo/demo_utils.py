@@ -65,7 +65,7 @@ def masked_softmax_loss(params, logits, y, mask_index, l2_coef=5e-4):
 
 def train_node_classifier(forward, params, y, splits, num_steps=200,
                           learning_rate=1e-2, l2_coef=5e-4, log_every=20,
-                          patience=None):
+                          patience=None, seed=0):
     """Generic loop: ``forward(params, training, key) -> logits``.
 
     With ``patience`` set, runs the reference's exact early-stop rule
@@ -74,12 +74,21 @@ def train_node_classifier(forward, params, y, splits, num_steps=200,
     recorded only at steps where val accuracy improves AND val loss drops.
     Matching the rule matters on non-saturated (hard-mode) benchmarks where
     the stopping point visibly moves the reported number.
+
+    ``seed`` drives the per-step dropout key stream. Multi-seed sweeps MUST
+    pass their training seed here: the reference reseeds TF's global RNG per
+    run, so its dropout noise is independent across seeds — a fixed stream
+    makes "20 seeds" 20 runs conditioned on ONE noise draw, which both
+    understates the variance and can sit a full sequence-level sigma off the
+    marginal mean (this biased ssgc_pubmed hard-mode by ~-0.03).
     """
     num_steps = demo_steps(num_steps)
     train_index, valid_index, test_index = splits
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
-    key = jax.random.PRNGKey(0)
+    # fold_in decorrelates the dropout stream from the init key (bench
+    # scripts init params from PRNGKey(seed) too)
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
 
     @jax.jit
     def train_step(params, opt_state, step_key):

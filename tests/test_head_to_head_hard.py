@@ -27,18 +27,20 @@ SHAPES = ("cora", "citeseer", "pubmed")
 DELTA_TOL = 0.02
 
 # Findings the hard benchmark has surfaced that are NOT yet fixed — kept
-# visible as xfails, not silenced by widening tolerances. At 10 seeds
-# ssgc_pubmed read −0.032 (within 2·SEM); extending to 20 seeds sharpened
-# it to −0.045 at ~2.9σ: the reference SSGC reaches 0.60±0.07 where the
-# repo sits tight at 0.556±0.023. The repo's consistency vs the
-# reference's high-variance upside suggests a regularization-path
-# difference (candidate: per-hop edge-dropout draws in the k=10
-# propagation loop). THIS IS THE BENCHMARK WORKING — the saturated easy
-# protocol scored both sides 0.99 and could never have seen it.
-KNOWN_GAPS = {
-    ("ssgc", "pubmed"): "suspected SSGC regularization-path gap (-0.045, "
-                        "~2.9 sigma at 20 seeds) - under investigation",
-}
+# visible as xfails, not silenced by widening tolerances.
+#
+# RESOLVED (r4): ssgc_pubmed read −0.045 at ~2.9σ — the reference SSGC
+# reached 0.60±0.07 (bimodal: half its seeds escape to a 0.65–0.72 basin)
+# where the repo sat tight at 0.556±0.023. Root cause was NOT a modeling
+# bug: train_node_classifier hardcoded PRNGKey(0) for the per-step dropout
+# stream, so all 20 "seeds" were conditioned on ONE dropout-noise draw
+# (the reference reseeds tf.random per run). With the seed threaded into
+# the dropout stream (demo_utils.py) the repo reads 0.572±0.052 with the
+# same bimodal escape behavior (5/20 seeds ≥0.646, max 0.702) — delta
+# −0.030, inside the 2·SEM tolerance. THIS IS THE BENCHMARK WORKING —
+# the saturated easy protocol scored both sides 0.99 and could never have
+# seen a conditioned-noise estimator bias.
+KNOWN_GAPS = {}
 
 
 def _load(path):
