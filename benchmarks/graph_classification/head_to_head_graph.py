@@ -98,8 +98,100 @@ def run_reference(model_name, seed):
             h = tfg.nn.sum_pool(h, bg.node_graph_index)
             h = tf.nn.dropout(h, 0.4) if training else h
             return dense(h)
+    elif model_name == "sag_pool":
+        # shared protocol = repo demo/demo_sag_pool_h.py (2 levels of
+        # GCN(32,relu) → SAGPool(score GCN(1), k=8, tanh), mean readout per
+        # level; reference hierarchy from demo/demo_sag_pool_h.py:70-110)
+        gcns = [tfg.layers.GCN(32, activation=tf.nn.relu) for _ in range(2)]
+        sags = [tfg.layers.SAGPool(score_gnn=tfg.layers.GCN(1), k=8,
+                                   score_activation=tf.nn.tanh)
+                for _ in range(2)]
+        dense = tf.keras.layers.Dense(num_classes)
+        lr = 5e-3
+
+        def forward(bg, training):
+            h, ei, ew, ngi = (bg.x, bg.edge_index, bg.edge_weight,
+                              bg.node_graph_index)
+            readouts = []
+            for gcn, sag in zip(gcns, sags):
+                h = gcn([h, ei, ew])
+                h, ei, ew, ngi = sag([h, ei, ew, ngi], training=training)
+                readouts.append(tfg.nn.mean_pool(h, ngi))
+            h = tf.concat(readouts, axis=-1)
+            h = tf.nn.dropout(h, 0.4) if training else h
+            return dense(h)
+    elif model_name == "sort_pool":
+        # shared protocol = repo demo/demo_sort_pool.py (2×GCN(32,tanh) →
+        # SortPool k=8 → [G, k·F] dense readout; reference demo_sort_pool.py
+        # uses its SortPool layer the same way)
+        K = 8
+        gcns = [tfg.layers.GCN(32, activation=tf.nn.tanh) for _ in range(2)]
+        sortp = tfg.layers.SortPool(k=K)
+        d64 = tf.keras.layers.Dense(64)
+        dense = tf.keras.layers.Dense(num_classes)
+        lr = 5e-3
+
+        def forward(bg, training):
+            from tf_geometric.utils.graph_utils import convert_x_to_3d
+            h = gcns[0]([bg.x, bg.edge_index, bg.edge_weight])
+            h = gcns[1]([h, bg.edge_index, bg.edge_weight])
+            px, _, _, pngi = sortp(
+                [h, bg.edge_index, bg.edge_weight, bg.node_graph_index],
+                training=training)
+            h3 = convert_x_to_3d(px, pngi, k=K)   # [G, K, F] zero-padded
+            h = tf.reshape(h3, [tf.shape(h3)[0], K * 32])
+            h = tf.nn.relu(d64(h))
+            h = tf.nn.dropout(h, 0.4) if training else h
+            return dense(h)
+    elif model_name == "diff_pool":
+        # shared protocol = repo demo/demo_diff_pool.py (levels [8, 4]
+        # clusters, feature GCN(32,relu) / assign GCN(C), units 32, max
+        # readout per level; reference demo_diff_pool.py:86-120)
+        diffs = [tfg.layers.DiffPool(
+            feature_gnn=tfg.layers.GCN(32, activation=tf.nn.relu),
+            assign_gnn=tfg.layers.GCN(clusters), units=32,
+            num_clusters=clusters) for clusters in (8, 4)]
+        d64 = tf.keras.layers.Dense(64)
+        dense = tf.keras.layers.Dense(num_classes)
+        lr = 5e-3
+
+        def forward(bg, training):
+            h, ei, ew, ngi = (bg.x, bg.edge_index, bg.edge_weight,
+                              bg.node_graph_index)
+            readouts = []
+            for dp in diffs:
+                h, ei, ew, ngi = dp([h, ei, ew, ngi], training=training)
+                readouts.append(tfg.nn.max_pool(h, ngi))
+            h = tf.concat(readouts, axis=-1)
+            h = tf.nn.relu(d64(h))
+            h = tf.nn.dropout(h, 0.4) if training else h
+            return dense(h)
+    elif model_name == "min_cut_pool":
+        # shared protocol = repo demo/demo_min_cut_pool.py (GCN(32,relu) →
+        # MinCutPool(feature GCN(32,relu), assign GCN(8), 8 clusters) →
+        # mean readout + auxiliary cut/orth losses; reference
+        # demo_min_cut_pool.py:66-123 + layers/pool/min_cut_pool.py:63-69)
+        pre = tfg.layers.GCN(32, activation=tf.nn.relu)
+        mcp = tfg.layers.MinCutPool(
+            feature_gnn=tfg.layers.GCN(32, activation=tf.nn.relu),
+            assign_gnn=tfg.layers.GCN(8), units=32, num_clusters=8)
+        dense = tf.keras.layers.Dense(num_classes)
+        lr = 5e-3
+
+        aux_losses = []  # cut+orth of the last forward, read by the loop
+
+        def forward(bg, training):
+            h = pre([bg.x, bg.edge_index, bg.edge_weight])
+            (h, _, _, ngi), losses = mcp(
+                [h, bg.edge_index, bg.edge_weight, bg.node_graph_index],
+                training=training, return_losses=True)
+            aux_losses[:] = losses
+            h = tfg.nn.mean_pool(h, ngi)
+            h = tf.nn.dropout(h, 0.4) if training else h
+            return dense(h)
     else:
         raise ValueError(model_name)
+    aux = aux_losses if model_name == "min_cut_pool" else None
 
     optimizer = tf.keras.optimizers.Adam(learning_rate=lr)
 
@@ -119,6 +211,11 @@ def run_reference(model_name, seed):
                     logits=logits,
                     labels=tf.one_hot(np.asarray(bg.y).flatten(),
                                       depth=num_classes)))
+                if aux:
+                    # MinCutPool's cut+orth auxiliary losses, same weighting
+                    # as the repo side (demo_min_cut_pool._aux_loss)
+                    loss = loss + tf.add_n([tf.convert_to_tensor(a)
+                                            for a in aux])
             variables = tape.watched_variables()
             optimizer.apply_gradients(
                 zip(tape.gradient(loss, variables), variables))
@@ -152,18 +249,35 @@ from tf_geometric_tpu.datasets.synthetic_citation import \\
 graphs, _ = synthetic_graph_classification_hard(seed=0)
 split = train_test_split(graphs, test_size=0.1, random_state=0)
 flip_graph_labels(split[0])
-if {repr(model_name)} == "mean_pool":
+model = {repr(model_name)}
+kw = dict(batch_size={BATCH}, num_steps={STEPS}, learning_rate=5e-3,
+          seed={seed}, split=(split[0], split[1]))
+if model == "mean_pool":
     from demo_mean_pool import MeanPoolNetwork
     acc = run_graph_classification(
-        lambda c, g: MeanPoolNetwork(num_classes=c, num_graphs=g),
-        batch_size={BATCH}, num_steps={STEPS}, learning_rate=5e-3,
-        seed={seed}, split=(split[0], split[1]))
-else:
+        lambda c, g: MeanPoolNetwork(num_classes=c, num_graphs=g), **kw)
+elif model == "gin":
     from demo_gin import GINModel
+    kw["learning_rate"] = 3e-3
     acc = run_graph_classification(
-        lambda c, g: GINModel(num_classes=c, num_graphs=g),
-        batch_size={BATCH}, num_steps={STEPS}, learning_rate=3e-3,
-        seed={seed}, split=(split[0], split[1]))
+        lambda c, g: GINModel(num_classes=c, num_graphs=g), **kw)
+elif model == "sag_pool":
+    from demo_sag_pool_h import SAGPoolHModel
+    acc = run_graph_classification(
+        lambda c, g: SAGPoolHModel(num_classes=c, num_graphs=g), **kw)
+elif model == "sort_pool":
+    from demo_sort_pool import SortPoolModel
+    acc = run_graph_classification(
+        lambda c, g: SortPoolModel(num_classes=c, num_graphs=g), **kw)
+elif model == "diff_pool":
+    from demo_diff_pool import DiffPoolModel
+    acc = run_graph_classification(
+        lambda c, g: DiffPoolModel(num_classes=c, num_graphs=g), **kw)
+elif model == "min_cut_pool":
+    from demo_min_cut_pool import MinCutPoolModel, _aux_loss
+    acc = run_graph_classification(
+        lambda c, g: MinCutPoolModel(num_classes=c, num_graphs=g),
+        extra_loss_from_state=_aux_loss, **kw)
 print("REPO_ACC", acc)
 """
     proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
@@ -181,14 +295,20 @@ def main(num_seeds=5, models=None):
     if os.path.exists(out_path):
         with open(out_path, encoding="utf-8") as f:
             out = json.load(f)
-    for model in (models or ("mean_pool", "gin")):
+    for model in (models or ("mean_pool", "gin", "sag_pool", "sort_pool",
+                             "diff_pool", "min_cut_pool")):
         if model in out and len(out[model]["reference"]) >= num_seeds:
             continue
-        repo_accs = [run_repo(model, s) for s in range(num_seeds)]
+        # seed extension: both sides are deterministic per seed — keep the
+        # committed prefix, run only the missing tail
+        prev_repo = list(out[model]["repo"][:num_seeds]) if model in out else []
+        repo_accs = prev_repo + [run_repo(model, s)
+                                 for s in range(len(prev_repo), num_seeds)]
         print(f"{model}: repo mean {np.mean(repo_accs):.4f} "
               f"± {np.std(repo_accs):.4f}", flush=True)
-        ref_accs = []
-        for seed in range(num_seeds):
+        ref_accs = list(out[model]["reference"][:num_seeds]) \
+            if model in out else []
+        for seed in range(len(ref_accs), num_seeds):
             acc = run_reference(model, seed)
             ref_accs.append(acc)
             print(f"{model} ref seed {seed}: {acc:.4f}", flush=True)

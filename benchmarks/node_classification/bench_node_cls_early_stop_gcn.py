@@ -26,6 +26,11 @@ from tf_geometric_tpu.layers import GCN
 DATASET = os.environ.get("BENCH_DATASET", "cora")
 PATIENCE = 100
 MAX_STEPS = 400
+# the planetoid shapes keep the reference's 16 hidden units; the
+# arxiv-scale head-to-head uses 64 (40 classes — 16 under-parameterizes
+# both sides; the shared protocol is defined in
+# benchmarks/node_classification/head_to_head.py DATASET_OVERRIDES)
+HIDDEN = {"arxiv": 64}.get(DATASET, 16)
 
 
 class GCNModel(nn.Module):
@@ -34,7 +39,7 @@ class GCNModel(nn.Module):
     @nn.compact
     def __call__(self, x, edge_index, edge_weight, training=False):
         x = nn.Dropout(0.5, deterministic=not training)(x)
-        h = GCN(units=16, activation=jax.nn.relu)([x, edge_index, edge_weight])
+        h = GCN(units=HIDDEN, activation=jax.nn.relu)([x, edge_index, edge_weight])
         h = nn.Dropout(0.5, deterministic=not training)(h)
         return GCN(units=self.num_classes)([h, edge_index, edge_weight])
 

@@ -35,8 +35,14 @@ PROTOCOLS = {
 }
 
 # the reference scripts' per-dataset l2/dropout overrides (each
-# bench_node_cls_early_stop_*.py's `if dataset == ...` block)
+# bench_node_cls_early_stop_*.py's `if dataset == ...` block). The "arxiv"
+# entries are NOT from the reference (its early-stop scripts cover only
+# cora/citeseer/pubmed); they define the SHARED protocol of the
+# arxiv-scale head-to-head (head_to_head_arxiv.json): 64 hidden for the
+# 40-class output, everything else the cora protocol — both sides train
+# identically, which is what parity requires.
 DATASET_OVERRIDES = {
+    "gcn":   {"arxiv": dict(hidden=64)},
     "gat":   {"citeseer": dict(drop=0.6, l2=2e-3),   # ref gat.py:55-63
               "cora": dict(drop=0.7, l2=1e-3),
               "pubmed": dict(drop=0.0, l2=2e-3)},
@@ -70,7 +76,8 @@ def _load_shared_graph():
 def _build_ref_model(tfg, tf, model_name, num_classes, drop, dataset="cora"):
     """The model stacks from the reference bench scripts, verbatim."""
     if model_name == "gcn":
-        gcn0 = tfg.layers.GCN(16, activation=tf.nn.relu)
+        hidden = protocol_for("gcn", dataset).get("hidden", 16)
+        gcn0 = tfg.layers.GCN(hidden, activation=tf.nn.relu)
         gcn1 = tfg.layers.GCN(num_classes)
 
         def call(x, ei, ew, graph, training):

@@ -42,10 +42,16 @@ MODELS = ("gcn", "gat", "appnp", "sgc", "ssgc")
 SHAPES = ("cora", "citeseer", "pubmed")
 
 
-def shared_from_hard(shape, graph_seed=0):
-    """(x, ei, ew, y, splits) numpy tuple of the fixed hard graph."""
+def shared_from_hard(shape, graph_seed=0, model=None):
+    """(x, ei, ew, y, splits) numpy tuple of the fixed hard graph.
+
+    ``model`` selects the per-(model, shape) difficulty override
+    (HardCitationDataset._MODEL_DIFFICULTY) — cells whose model family
+    collapses to chance on the GCN-tuned data get easier graphs; both
+    sides of such a cell are built with the same key."""
     from tf_geometric_tpu.datasets.synthetic_citation import HardCitationDataset
-    graph, splits = HardCitationDataset(shape, seed=graph_seed).load_data()
+    graph, splits = HardCitationDataset(shape, seed=graph_seed,
+                                        model=model).load_data()
     return (np.asarray(graph.x, np.float32),
             np.asarray(graph.edge_index, np.int32),
             np.asarray(graph.edge_weight, np.float32),
@@ -67,6 +73,7 @@ def run_repo_side(model, shape, num_seeds):
         done = len(accs)  # partial file: run only the missing seeds (append)
     env = dict(os.environ,
                TFG_HARD_PROTOCOL="1", TFG_HARD_SEED="0",
+               TFG_HARD_MODEL=model,
                BENCH_DATASET=shape, BENCH_PLATFORM="cpu",
                TFG_RESULTS_PATH=results_path)
     script = os.path.join(HERE, f"bench_node_cls_early_stop_{model}.py")
@@ -97,14 +104,23 @@ def main(num_seeds=20, only=None):
         model, shape = key.rsplit("_", 1)
         if key in out and len(out[key]["reference"]) >= num_seeds:
             continue
-        if shape not in shared_cache:
-            shared_cache[shape] = shared_from_hard(shape)
-        shared = shared_cache[shape]
+        # per-model difficulty overrides mean the shared graph is keyed by
+        # (model, shape) when an override exists, by shape otherwise
+        from tf_geometric_tpu.datasets.synthetic_citation import \
+            HardCitationDataset
+        has_override = (model, shape) in HardCitationDataset._MODEL_DIFFICULTY
+        cache_key = (model, shape) if has_override else shape
+        if cache_key not in shared_cache:
+            shared_cache[cache_key] = shared_from_hard(shape, model=model)
+        shared = shared_cache[cache_key]
         repo_accs = run_repo_side(model, shape, num_seeds)
         print(f"{key}: repo mean {np.mean(repo_accs):.4f} "
               f"± {np.std(repo_accs):.4f}", flush=True)
-        ref_accs = []
-        for seed in range(num_seeds):
+        # seed extension: reference runs are deterministic per seed
+        # (tf.random.set_seed), so keep the committed prefix and run only
+        # the missing tail
+        ref_accs = list(out[key]["reference"][:num_seeds]) if key in out else []
+        for seed in range(len(ref_accs), num_seeds):
             acc = run_reference(model, seed, shared, dataset=shape)
             ref_accs.append(acc)
             print(f"{key} ref seed {seed}: {acc:.4f}", flush=True)

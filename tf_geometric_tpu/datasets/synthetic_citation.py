@@ -147,7 +147,13 @@ class HardCitationDataset:
     and the repo models in benchmarks/node_classification/head_to_head_hard.py.
     """
 
-    _SHAPES = FakePlanetoidDataset._SHAPES
+    # cora/citeseer/pubmed shapes plus an ogbn-arxiv-shaped entry
+    # (169k nodes, 40 classes, ~7 edges/node — reference datasets/ogb.py:
+    # 10-48 loads the real thing; this is its no-egress hard-mode stand-in
+    # for the arxiv-scale accuracy head-to-head)
+    _SHAPES = {**FakePlanetoidDataset._SHAPES,
+               "arxiv": dict(num_nodes=169_343, num_features=128,
+                             num_classes=40, avg_degree=7.0)}
 
     # difficulty per shape, tuned against the executed reference GCN
     # (benchmarks/node_classification/tune_hard.py sweep)
@@ -155,17 +161,58 @@ class HardCitationDataset:
         "cora": dict(homophily=0.62, feature_signal=1.2, class_overlap=0.45),
         "citeseer": dict(homophily=0.55, feature_signal=1.1, class_overlap=0.50),
         "pubmed": dict(homophily=0.60, feature_signal=1.1, class_overlap=0.48),
+        "arxiv": dict(homophily=0.60, feature_signal=1.5, class_overlap=0.40),
+    }
+    # arxiv-scale statistics: more test nodes tighten the per-seed SEM
+    # (0.025 chance over 40 classes needs a bigger sample than 1000)
+    _VAL_SIZE = {"arxiv": 2000}
+    _TEST_SIZE = {"arxiv": 10_000}
+    # per-(model, shape) overrides: the GCN-tuned settings collapse some
+    # model families to chance under their OWN reference protocols (GAT's
+    # 0.6-0.7 dropout, APPNP/SSGC's double 0.5 dropout + k=10 smoothing
+    # can't learn the weak-signal graphs at all — both sides land ~chance,
+    # which is matched failure, not discriminative evidence). These cells
+    # get easier data, tuned so the EXECUTED REFERENCE lands 0.50-0.85
+    # under its own per-dataset protocol
+    # (benchmarks/node_classification/tune_hard_cells.py sweep). Both
+    # head-to-head sides build the graph with the same (model, shape) key,
+    # so each cell still compares identical data.
+    _MODEL_DIFFICULTY = {
+        ("gat", "citeseer"): dict(homophily=0.70, feature_signal=2.0,
+                                  class_overlap=0.30),
+        ("gat", "pubmed"): dict(homophily=0.70, feature_signal=2.0,
+                                class_overlap=0.30),
+        ("appnp", "citeseer"): dict(homophily=0.66, feature_signal=1.6,
+                                    class_overlap=0.35),
+        ("ssgc", "citeseer"): dict(homophily=0.66, feature_signal=1.6,
+                                   class_overlap=0.35),
     }
     TRAIN_PER_CLASS = 10
     LABEL_NOISE = 0.10
 
-    def __init__(self, dataset_name: str = "cora", seed: int = 0):
+    def __init__(self, dataset_name: str = "cora", seed: int = 0,
+                 model: Optional[str] = None):
         self.dataset_name = dataset_name
         self.seed = seed
+        # ``model`` selects a per-(model, shape) difficulty override; the
+        # subprocess-driven bench scripts receive it via TFG_HARD_MODEL
+        # (benchmarks/node_classification/head_to_head_hard.run_repo_side)
+        if model is None:
+            import os
+            model = os.environ.get("TFG_HARD_MODEL") or None
+        self.model = model
 
     def load_data(self):
         shape = self._SHAPES[self.dataset_name]
-        diff = self._DIFFICULTY[self.dataset_name]
+        diff = dict(self._DIFFICULTY[self.dataset_name])
+        diff.update(self._MODEL_DIFFICULTY.get(
+            (self.model, self.dataset_name), {}))
+        # protocol-level knobs may ride in the override dict too (GAT's
+        # heavy-dropout protocols need more labeled nodes to leave chance
+        # at ANY graph difficulty below saturation)
+        train_per_class = int(diff.pop("train_per_class",
+                                       self.TRAIN_PER_CLASS))
+        label_noise = float(diff.pop("label_noise", self.LABEL_NOISE))
         graph = synthetic_citation_graph(seed=self.seed, **shape, **diff)
         num_classes = shape["num_classes"]
         num_nodes = shape["num_nodes"]
@@ -175,17 +222,19 @@ class HardCitationDataset:
         # balanced per-class training labels from the front of the node range
         # (mirrors Planetoid's "first nodes are train" layout), val after,
         # test from the back — all disjoint
-        head = y[: num_nodes - 1000]
+        n_val = self._VAL_SIZE.get(self.dataset_name, 500)
+        n_test = self._TEST_SIZE.get(self.dataset_name, 1000)
+        head = y[: num_nodes - n_test]
         train_index = np.concatenate([
-            np.nonzero(head == c)[0][: self.TRAIN_PER_CLASS]
+            np.nonzero(head == c)[0][: train_per_class]
             for c in range(num_classes)])
         train_index = np.sort(train_index)
-        pool = np.setdiff1d(np.arange(num_nodes - 1000), train_index)
-        valid_index = np.sort(rng.choice(pool, size=500, replace=False))
-        test_index = np.arange(num_nodes - 1000, num_nodes)
+        pool = np.setdiff1d(np.arange(num_nodes - n_test), train_index)
+        valid_index = np.sort(rng.choice(pool, size=n_val, replace=False))
+        test_index = np.arange(num_nodes - n_test, num_nodes)
 
         # flip a fraction of TRAIN labels (clean val/test), evenly per class
-        flips_per_class = int(round(self.LABEL_NOISE * self.TRAIN_PER_CLASS))
+        flips_per_class = int(round(label_noise * train_per_class))
         y_clean = np.asarray(graph.y)
         for c in range(num_classes):
             members = train_index[y_clean[train_index] == c]
