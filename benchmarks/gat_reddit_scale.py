@@ -40,7 +40,12 @@ import numpy as np
 N_NODES = 232_965
 N_EDGES = int(os.environ.get("GAT_REDDIT_EDGES", 23_000_000))
 N_FEATURES = 602
-HEADS, UNITS, CLASSES = 8, 256, 41
+# GAT_REDDIT_UNITS: 256 (the arxiv headline config, 8 heads x 32) needs
+# 52.03GB HBM at 23M edges -- the 2.24M-edge hub tail materializes
+# [T, 256] K/V gathers on both passes (measured OOM, see
+# benchmarks/README.md). 64 (the reference's own demo GAT shape,
+# demo/demo_gat.py:14 -- 8 heads x 8) fits.
+HEADS, UNITS, CLASSES = 8, int(os.environ.get("GAT_REDDIT_UNITS", 64)), 41
 
 
 def main():
@@ -95,23 +100,27 @@ def main():
     }
     optimizer = optax.adam(1e-3)
 
-    def loss_fn(p, layout_, sorted_ei_):
-        h = gat(x, None, p["wq"], p["bq"], jax.nn.relu,
+    # x (233k x 602 fp32 = 561MB) and y must ride as jit ARGUMENTS as
+    # well: closed-over device arrays inline as HLO literals, and the first
+    # attempt 413'd the remote compile service on x alone
+    def loss_fn(p, layout_, sorted_ei_, x_, y_):
+        h = gat(x_, None, p["wq"], p["bq"], jax.nn.relu,
                 p["wk"], p["bk"], jax.nn.relu, p["wv"],
                 num_heads=HEADS, num_nodes=N_NODES,
                 ell_layout=layout_, sorted_edge_index=sorted_ei_)
         logits = h @ p["wd"] + p["bd"]
         return optax.softmax_cross_entropy_with_integer_labels(
-            logits, y).mean()
+            logits, y_).mean()
 
     @jax.jit
-    def step_impl(p, s, layout_, sorted_ei_):
-        loss, grads = jax.value_and_grad(loss_fn)(p, layout_, sorted_ei_)
+    def step_impl(p, s, layout_, sorted_ei_, x_, y_):
+        loss, grads = jax.value_and_grad(loss_fn)(p, layout_, sorted_ei_,
+                                                  x_, y_)
         updates, s = optimizer.update(grads, s, p)
         return optax.apply_updates(p, updates), s, loss
 
     def train_step(p, s):
-        return step_impl(p, s, layout, sorted_ei)
+        return step_impl(p, s, layout, sorted_ei, x, y)
 
     opt_state = optimizer.init(params)
     t0 = time.time()

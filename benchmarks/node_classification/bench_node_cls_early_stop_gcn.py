@@ -25,7 +25,10 @@ from tf_geometric_tpu.layers import GCN
 
 DATASET = os.environ.get("BENCH_DATASET", "cora")
 PATIENCE = 100
-MAX_STEPS = 400
+# arxiv: 200-step shared protocol (head_to_head.py DATASET_OVERRIDES) —
+# a 169k-node full-batch step with per-step eval costs ~50x a cora step
+# on the CI host; 200 steps keeps the 5-seed head-to-head tractable
+MAX_STEPS = 200 if DATASET == "arxiv" else 400
 # the planetoid shapes keep the reference's 16 hidden units; the
 # arxiv-scale head-to-head uses 64 (40 classes — 16 under-parameterizes
 # both sides; the shared protocol is defined in

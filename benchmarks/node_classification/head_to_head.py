@@ -42,7 +42,7 @@ PROTOCOLS = {
 # 40-class output, everything else the cora protocol — both sides train
 # identically, which is what parity requires.
 DATASET_OVERRIDES = {
-    "gcn":   {"arxiv": dict(hidden=64)},
+    "gcn":   {"arxiv": dict(hidden=64, steps=200)},
     "gat":   {"citeseer": dict(drop=0.6, l2=2e-3),   # ref gat.py:55-63
               "cora": dict(drop=0.7, l2=1e-3),
               "pubmed": dict(drop=0.0, l2=2e-3)},

@@ -124,7 +124,7 @@ def main(num_seeds=20, only=None):
             acc = run_reference(model, seed, shared, dataset=shape)
             ref_accs.append(acc)
             print(f"{key} ref seed {seed}: {acc:.4f}", flush=True)
-        out[key] = {
+        entry = {
             "reference": ref_accs,
             "repo": repo_accs,
             "reference_mean": float(np.mean(ref_accs)),
@@ -133,13 +133,18 @@ def main(num_seeds=20, only=None):
             "repo_std": float(np.std(repo_accs)),
             "delta": float(np.mean(repo_accs) - np.mean(ref_accs)),
         }
+        out[key] = entry
         print("{}: ref {:.4f}±{:.4f}  repo {:.4f}±{:.4f}  delta {:+.4f}"
               .format(key, out[key]["reference_mean"],
                       out[key]["reference_std"], out[key]["repo_mean"],
                       out[key]["repo_std"], out[key]["delta"]),
               flush=True)
-        with open(out_path, "w", encoding="utf-8") as f:
-            json.dump(out, f, indent=2)  # checkpoint after every entry
+        # checkpoint after every entry — flock-guarded merge so a
+        # concurrent rerun/revive writer can't be clobbered
+        from json_lock import locked_json
+        with locked_json(out_path) as disk:
+            disk[key] = entry
+            out = {**disk}
     print("wrote head_to_head_hard.json")
 
 

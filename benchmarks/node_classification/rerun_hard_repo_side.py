@@ -64,14 +64,13 @@ def rerun(key, num_seeds=20, resume=False):
     assert len(repo) >= num_seeds, (
         f"{key}: results file holds {len(repo)} < {num_seeds} values — "
         "not committing a fewer-seed mean")
-    data = json.load(open(JSON_PATH, encoding="utf-8"))
-    e = data[key]
-    e["repo"] = repo[:num_seeds]
-    e["repo_mean"] = float(np.mean(e["repo"]))
-    e["repo_std"] = float(np.std(e["repo"]))
-    e["delta"] = e["repo_mean"] - e["reference_mean"]
-    with open(JSON_PATH, "w", encoding="utf-8") as f:
-        json.dump(data, f, indent=2)
+    from json_lock import locked_json
+    with locked_json(JSON_PATH) as data:
+        e = data[key]
+        e["repo"] = repo[:num_seeds]
+        e["repo_mean"] = float(np.mean(e["repo"]))
+        e["repo_std"] = float(np.std(e["repo"]))
+        e["delta"] = e["repo_mean"] - e["reference_mean"]
     n = len(e["reference"])
     sem = float(np.sqrt(np.var(e["reference"]) / n
                         + np.var(e["repo"]) / len(e["repo"])))

@@ -47,8 +47,14 @@ def main():
     num_seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     candidates = []
     for arg in sys.argv[3:]:
-        h, s, o = (float(v) for v in arg.split(","))
-        candidates.append(dict(homophily=h, feature_signal=s, class_overlap=o))
+        vals = [float(v) for v in arg.split(",")]
+        cand = dict(homophily=vals[0], feature_signal=vals[1],
+                    class_overlap=vals[2])
+        if len(vals) > 3:          # optional: train_per_class
+            cand["train_per_class"] = int(vals[3])
+        if len(vals) > 4:          # optional: label_noise
+            cand["label_noise"] = vals[4]
+        candidates.append(cand)
     if not candidates:
         candidates = [dict(homophily=0.70, feature_signal=2.0,
                            class_overlap=0.30)]

@@ -272,18 +272,36 @@ def synthetic_graph_classification_hard(num_graphs: int = 400,
     Returns ``(graphs, num_classes)`` like the dataset loaders.
     """
     rng = np.random.default_rng(seed)
+
+    def draw_unique(n, e, hubby):
+        """Exactly ``e`` UNIQUE directed pairs (the reference's MinCutPool
+        densifies the adjacency with tf.sparse.to_dense, which rejects
+        duplicate indices — real TU graphs are duplicate-free; resampling
+        instead of dropping keeps edge counts identical across classes so
+        the count stays a non-signal)."""
+        pairs = np.empty((0, 2), np.int64)
+        for _ in range(64):
+            need = e - len(pairs)
+            if need <= 0:
+                break
+            src = rng.integers(0, n, size=need * 2)
+            if hubby:
+                dst = np.minimum(
+                    (rng.random(need * 2) ** hub_exponent * n).astype(np.int64),
+                    n - 1)
+            else:
+                dst = rng.integers(0, n, size=need * 2)
+            pairs = np.unique(np.concatenate(
+                [pairs, np.stack([dst, src], axis=1)]), axis=0)
+        assert len(pairs) >= e, (n, e, len(pairs))
+        return pairs[rng.permutation(len(pairs))[:e]].T
+
     graphs = []
     for g in range(num_graphs):
         label = int(g % 2)
         n = int(rng.integers(12, 28))
         e = 3 * n
-        src = rng.integers(0, n, size=e)
-        if label == 0:
-            dst = rng.integers(0, n, size=e)
-        else:
-            dst = np.minimum((rng.random(e) ** hub_exponent * n).astype(np.int64),
-                             n - 1)
-        ei = np.stack([dst, src]).astype(np.int32)
+        ei = draw_unique(n, e, hubby=label == 1).astype(np.int32)
         x = np.full((n, num_features), 1.0 / num_features, np.float32)
         graphs.append(Graph(x=x, edge_index=ei, y=np.asarray([label])))
     order = rng.permutation(num_graphs)
