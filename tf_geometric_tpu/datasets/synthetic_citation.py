@@ -178,8 +178,14 @@ class HardCitationDataset:
     # head-to-head sides build the graph with the same (model, shape) key,
     # so each cell still compares identical data.
     _MODEL_DIFFICULTY = {
-        ("gat", "citeseer"): dict(homophily=0.70, feature_signal=2.0,
-                                  class_overlap=0.30),
+        # GAT citeseer: the reference's citeseer protocol (drop 0.6 on
+        # inputs/attention/hidden + l2 2e-3 over 3703-dim QKV kernels,
+        # ~10x cora's effective weight decay) collapses to a constant
+        # predictor (exactly 0.147 across seeds) on anything weaker —
+        # measured ladder: (.70,2.0,.30)=0.147, (.65,1.6,.40)=0.171,
+        # (.72,2.5,.20,tpc20)=0.697 IN BAND (tune_hard_cells.py)
+        ("gat", "citeseer"): dict(homophily=0.72, feature_signal=2.5,
+                                  class_overlap=0.20, train_per_class=20),
         ("gat", "pubmed"): dict(homophily=0.70, feature_signal=2.0,
                                 class_overlap=0.30),
         ("appnp", "citeseer"): dict(homophily=0.66, feature_signal=1.6,
@@ -254,7 +260,7 @@ class HardCitationDataset:
 
 def synthetic_graph_classification_hard(num_graphs: int = 400,
                                         num_features: int = 4,
-                                        hub_exponent: float = 2.5,
+                                        hub_exponent: float = 4.5,
                                         seed: int = 0):
     """HARD-MODE graph-classification set (two structural classes).
 
@@ -262,7 +268,11 @@ def synthetic_graph_classification_hard(num_graphs: int = 400,
     (constant) node features — only the WIRING differs: class 0 draws edge
     destinations uniformly, class 1 draws them hub-biased
     (``u**hub_exponent``; exponent → 1 makes the classes identical, larger
-    = easier). The label is carried purely by topology (degree shape /
+    = easier). Default 4.5: on UNIQUE-edge graphs (required by the
+    reference MinCutPool) dedup-resampling flattens the hub concentration,
+    so the old 2.5 lands near chance — measured ladder (repo MeanPool):
+    2.5→0.55, 3.5→bimodal [0.43,0.75], 4.0→[0.53,0.63,0.75],
+    4.5→[0.78,0.83,0.85] stable mid-band, 5.0→[0.90,0.93]. The label is carried purely by topology (degree shape /
     local density), the regime where a pooling readout actually has to work
     — unlike the easy fallback set whose classes differ 2.5× in edge count
     (demo_utils.load_graph_classification_data). Tuned so the executed
