@@ -28,7 +28,8 @@ PATIENCE = 100
 # arxiv: 200-step shared protocol (head_to_head.py DATASET_OVERRIDES) —
 # a 169k-node full-batch step with per-step eval costs ~50x a cora step
 # on the CI host; 200 steps keeps the 5-seed head-to-head tractable
-MAX_STEPS = 200 if DATASET == "arxiv" else 400
+MAX_STEPS = 100 if DATASET == "arxiv" else 400
+EVAL_EVERY = 2 if DATASET == "arxiv" else 1
 # the planetoid shapes keep the reference's 16 hidden units; the
 # arxiv-scale head-to-head uses 64 (40 classes — 16 under-parameterizes
 # both sides; the shared protocol is defined in
@@ -64,7 +65,8 @@ def run(seed=0):
 
     return train_node_classifier(forward, params, jnp.asarray(graph.y), splits,
                                  num_steps=MAX_STEPS, patience=PATIENCE,
-                                 learning_rate=1e-2, l2_coef=5e-4, seed=seed)
+                                 learning_rate=1e-2, l2_coef=5e-4, seed=seed,
+                                 eval_every=EVAL_EVERY)
 
 
 if __name__ == "__main__":

@@ -26,7 +26,8 @@ from tf_geometric_tpu.layers import SGC
 DATASET = os.environ.get("BENCH_DATASET", "cora")
 PATIENCE = 100
 # reference per-dataset overrides (sgc.py:25-29)
-MAX_STEPS = 60 if DATASET == "pubmed" else 200
+MAX_STEPS = {"pubmed": 60, "arxiv": 100}.get(DATASET, 200)
+EVAL_EVERY = 2 if DATASET == "arxiv" else 1
 L2 = {"cora": 5e-6, "citeseer": 1e-4, "pubmed": 5e-5}.get(DATASET, 5e-6)
 
 
@@ -55,7 +56,8 @@ def run(seed=0):
 
     return train_node_classifier(forward, params, jnp.asarray(graph.y), splits,
                                  num_steps=MAX_STEPS, patience=PATIENCE,
-                                 learning_rate=0.2, l2_coef=L2, seed=seed)
+                                 learning_rate=0.2, l2_coef=L2, seed=seed,
+                                 eval_every=EVAL_EVERY)
 
 
 if __name__ == "__main__":

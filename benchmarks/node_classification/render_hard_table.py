@@ -57,5 +57,30 @@ def main():
                   f"| {2 * sem:.3f} |")
 
 
+def inject_readme():
+    """Replace the block between HARD-TABLE-START/END markers in README.md
+    with the freshly rendered tables."""
+    import io
+    import contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main()
+    table = buf.getvalue().rstrip()
+    readme = os.path.join(HERE, "..", "..", "README.md")
+    with open(readme, encoding="utf-8") as f:
+        text = f.read()
+    start = "<!-- HARD-TABLE-START -->"
+    end = "<!-- HARD-TABLE-END -->"
+    i, j = text.index(start) + len(start), text.index(end)
+    text = text[:i] + "\n" + table + "\n" + text[j:]
+    with open(readme, "w", encoding="utf-8") as f:
+        f.write(text)
+    print("README.md hard table refreshed")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--inject" in sys.argv:
+        inject_readme()
+    else:
+        main()

@@ -65,7 +65,7 @@ def masked_softmax_loss(params, logits, y, mask_index, l2_coef=5e-4):
 
 def train_node_classifier(forward, params, y, splits, num_steps=200,
                           learning_rate=1e-2, l2_coef=5e-4, log_every=20,
-                          patience=None, seed=0):
+                          patience=None, seed=0, eval_every=1):
     """Generic loop: ``forward(params, training, key) -> logits``.
 
     With ``patience`` set, runs the reference's exact early-stop rule
@@ -122,14 +122,22 @@ def train_node_classifier(forward, params, y, splits, num_steps=200,
     for step in range(num_steps):
         key, subkey = jax.random.split(key)
         params, opt_state, loss = train_step(params, opt_state, subkey)
-        if patience is not None or step % log_every == 0:
+        # eval_every > 1: the arxiv-scale shared protocol's thinned eval
+        # cadence (identical on the reference side — head_to_head.py)
+        do_eval = (patience is not None
+                   and (step + 1) % eval_every == 0) or \
+            (patience is not None and step == num_steps - 1)
+        if do_eval or step % log_every == 0:
             train_acc, valid_acc, test_acc, valid_loss = (
                 float(a) for a in accuracy(params))
             if step % log_every == 0:
                 print(f"step {step}: loss={float(loss):.4f} "
                       f"train={train_acc:.4f} valid={valid_acc:.4f} "
                       f"test={test_acc:.4f}")
-            if patience is not None:
+            # best-val tracking only on the shared eval cadence (a
+            # log-print eval must not add tracking points the reference
+            # side doesn't see)
+            if patience is not None and do_eval:
                 if valid_acc > best_valid or valid_loss < min_val_loss:
                     bad_steps = 0
                 else:

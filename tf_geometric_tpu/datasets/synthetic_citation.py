@@ -161,7 +161,7 @@ class HardCitationDataset:
         "cora": dict(homophily=0.62, feature_signal=1.2, class_overlap=0.45),
         "citeseer": dict(homophily=0.55, feature_signal=1.1, class_overlap=0.50),
         "pubmed": dict(homophily=0.60, feature_signal=1.1, class_overlap=0.48),
-        "arxiv": dict(homophily=0.60, feature_signal=1.5, class_overlap=0.40),
+        "arxiv": dict(homophily=0.52, feature_signal=1.1, class_overlap=0.50),
     }
     # arxiv-scale statistics: more test nodes tighten the per-seed SEM
     # (0.025 chance over 40 classes needs a bigger sample than 1000)
