@@ -120,31 +120,38 @@ def main(num_seeds=20, only=None):
         # (tf.random.set_seed), so keep the committed prefix and run only
         # the missing tail
         ref_accs = list(out[key]["reference"][:num_seeds]) if key in out else []
+
+        def checkpoint(entry_key, refs, repos):
+            entry = {
+                "reference": refs,
+                "repo": repos,
+                "reference_mean": float(np.mean(refs)),
+                "reference_std": float(np.std(refs)),
+                "repo_mean": float(np.mean(repos)),
+                "repo_std": float(np.std(repos)),
+                "delta": float(np.mean(repos) - np.mean(refs)),
+            }
+            # flock-guarded merge so a concurrent rerun/revive writer can't
+            # be clobbered
+            from json_lock import locked_json
+            with locked_json(out_path) as disk:
+                disk[entry_key] = entry
+                merged = {**disk}
+            return merged
+
         for seed in range(len(ref_accs), num_seeds):
             acc = run_reference(model, seed, shared, dataset=shape)
             ref_accs.append(acc)
             print(f"{key} ref seed {seed}: {acc:.4f}", flush=True)
-        entry = {
-            "reference": ref_accs,
-            "repo": repo_accs,
-            "reference_mean": float(np.mean(ref_accs)),
-            "reference_std": float(np.std(ref_accs)),
-            "repo_mean": float(np.mean(repo_accs)),
-            "repo_std": float(np.std(repo_accs)),
-            "delta": float(np.mean(repo_accs) - np.mean(ref_accs)),
-        }
-        out[key] = entry
+            # checkpoint after every REFERENCE seed: ref runs are the
+            # expensive side (minutes each on the 2-core host) and the
+            # resume path above keeps any committed prefix
+            out = checkpoint(key, ref_accs, repo_accs)
         print("{}: ref {:.4f}±{:.4f}  repo {:.4f}±{:.4f}  delta {:+.4f}"
               .format(key, out[key]["reference_mean"],
                       out[key]["reference_std"], out[key]["repo_mean"],
                       out[key]["repo_std"], out[key]["delta"]),
               flush=True)
-        # checkpoint after every entry — flock-guarded merge so a
-        # concurrent rerun/revive writer can't be clobbered
-        from json_lock import locked_json
-        with locked_json(out_path) as disk:
-            disk[key] = entry
-            out = {**disk}
     print("wrote head_to_head_hard.json")
 
 

@@ -37,14 +37,6 @@ def clear(key):
 if __name__ == "__main__":
     num_seeds = int(sys.argv[1])
     keys = sys.argv[2:]
-    if "gat_pubmed" in keys and os.environ.get("TFG_GATPUBMED_OWNER") != "1":
-        # one-shot guard: a queued serialized revival of gat_pubmed would
-        # CLEAR the entry being regenerated by the parallel owner process
-        # (launched 02:40 with TFG_GATPUBMED_OWNER=1); skip here
-        print("gat_pubmed revival owned by the parallel queue — skipping")
-        keys = [k for k in keys if k != "gat_pubmed"]
-        if not keys:
-            sys.exit(0)  # an empty `only` would mean the FULL grid
     from tf_geometric_tpu.datasets.synthetic_citation import \
         HardCitationDataset
     for key in keys:
